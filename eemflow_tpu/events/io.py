@@ -1,0 +1,58 @@
+"""File readers for event/flow data (reference ``loader/loader_utils.py:26-65``).
+
+All readers are host-side numpy; HDF5 (pandas 'myDataset' tables) is gated on
+h5py/pandas availability so the core framework has no hard dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_compressed_events(event_path: str) -> np.ndarray:
+    """Read an npz with x/y/t/p arrays → [N,4] float64 (t[s], x, y, p∈{-1,1}).
+
+    Timestamps arrive in nanoseconds and are scaled by 1e-9; polarity is
+    mapped 0/1 → ∓1 (reference ``loader_utils.py:26-42``).
+    """
+    d = np.load(event_path)
+    p = 2 * d["p"].astype(np.float64) - 1
+    return np.stack(
+        [d["t"].astype(np.float64) * 1e-9, d["x"], d["y"], p], axis=1
+    ).astype(np.float64)
+
+
+def read_events_h5(event_path: str) -> np.ndarray:
+    """Read a per-frame pandas-HDF5 event table ('myDataset' key) → [N,4]
+    [ts, x, y, p] (reference ``loader_utils.py:44-52``)."""
+    import pandas
+
+    f = pandas.read_hdf(event_path, "myDataset")
+    return f[["ts", "x", "y", "p"]].to_numpy(dtype=np.float64)
+
+
+def read_flo(flow_path: str) -> np.ndarray:
+    """Middlebury .flo reader → [H, W, 2] float32
+    (reference ``loader_utils.py:54-65``)."""
+    with open(flow_path, "rb") as f:
+        magic = np.fromfile(f, np.float32, count=1)
+        if magic.size == 0 or magic[0] != 202021.25:
+            raise ValueError(f"Invalid .flo file: {flow_path}")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * w * h)
+        return np.resize(data, (h, w, 2))
+
+
+def write_flo(flow: np.ndarray, flow_path: str) -> None:
+    """Write [H, W, 2] float32 flow as Middlebury .flo."""
+    h, w = flow.shape[:2]
+    with open(flow_path, "wb") as f:
+        np.asarray([202021.25], np.float32).tofile(f)
+        np.asarray([w, h], np.int32).tofile(f)
+        flow.astype(np.float32).tofile(f)
+
+
+def read_flow_npy(path: str) -> np.ndarray:
+    """GT flow .npy as produced by the MVSEC encoder ([2,H,W] or [H,W,2])."""
+    return np.load(path)

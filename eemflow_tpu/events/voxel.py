@@ -1,0 +1,158 @@
+"""Event-stream → voxel-grid binning, the framework-defining op.
+
+Semantics (reference ``loader/loader_utils.py:429-537``,
+``EventSequenceToVoxelGrid_Pytorch``, itself credited to rpg_e2vid): events
+(t, x, y, p) vote bilinearly in *time* into a [num_bins, H, W] grid:
+
+  * timestamps normalized to ``(num_bins-1)·(t−t₀)/ΔT`` (ΔT→1 if zero),
+  * polarity ±1 (p==0 mapped to −1),
+  * each event adds ``p·(1−dt)`` to bin ⌊ts⌋ and ``p·dt`` to bin ⌊ts⌋+1
+    (two scatter-adds with bounds masks),
+  * optional normalization: over *nonzero* cells only, subtract mean and
+    divide by the sample std (ddof=1, matching ``torch.std``); if std is 0 or
+    undefined (≤1 nonzero cell) only the mean is subtracted.
+
+TPU-native design: the reference runs this per-sample on dataloader worker
+CPUs (a major input-pipeline bottleneck at 10⁵-10⁶ events/frame).  Here it is
+a fixed-shape XLA scatter-add that runs **on device**, vmappable over a batch
+of padded event tensors — events are padded to a static bucket size with a
+valid-count, so recompilation is bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_events(events: np.ndarray, bucket_size: int) -> tuple[np.ndarray, int]:
+    """Pad/truncate an [N,4] float event array to [bucket_size, 4].
+
+    Returns (padded_events float32, n_valid).  Events must be time-sorted;
+    timestamps should already be relative (float64 upstream) so float32 is
+    precise enough.
+    """
+    n = min(len(events), bucket_size)
+    out = np.zeros((bucket_size, 4), dtype=np.float32)
+    out[:n] = events[:n]
+    return out, n
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width", "normalize"))
+def events_to_voxel_grid(
+    events: jax.Array,
+    n_valid: jax.Array,
+    num_bins: int,
+    height: int,
+    width: int,
+    normalize: bool = True,
+) -> jax.Array:
+    """events: [N, 4] (t, x, y, p) float32, time-sorted, first n_valid real.
+
+    Returns [num_bins, height, width] float32.
+    """
+    N = events.shape[0]
+    idx = jnp.arange(N)
+    valid = idx < n_valid
+
+    t = events[:, 0]
+    xs = events[:, 1].astype(jnp.int32)
+    ys = events[:, 2].astype(jnp.int32)
+    pols = jnp.where(events[:, 3] == 0, -1.0, events[:, 3])
+
+    first = t[0]
+    last = t[jnp.maximum(n_valid - 1, 0)]
+    deltaT = last - first
+    deltaT = jnp.where(deltaT == 0, 1.0, deltaT)
+
+    ts = (num_bins - 1) * (t - first) / deltaT
+    tis = jnp.floor(ts)
+    tis_i = tis.astype(jnp.int32)
+    dts = ts - tis
+    vals_left = pols * (1.0 - dts)
+    vals_right = pols * dts
+
+    hw = height * width
+    base = xs + ys * width
+
+    mask_l = valid & (tis < num_bins) & (tis >= 0)
+    idx_l = jnp.where(mask_l, base + tis_i * hw, 0)
+    val_l = jnp.where(mask_l, vals_left, 0.0)
+
+    mask_r = valid & (tis + 1 < num_bins) & (tis >= 0)
+    idx_r = jnp.where(mask_r, base + (tis_i + 1) * hw, 0)
+    val_r = jnp.where(mask_r, vals_right, 0.0)
+
+    grid = jnp.zeros((num_bins * hw,), jnp.float32)
+    grid = grid.at[idx_l].add(val_l)
+    grid = grid.at[idx_r].add(val_r)
+    grid = grid.reshape(num_bins, height, width)
+
+    if normalize:
+        grid = normalize_voxel_grid(grid)
+    return grid
+
+
+def normalize_voxel_grid(grid: jax.Array) -> jax.Array:
+    """Per-nonzero mean/std normalization (sample std, ddof=1)."""
+    nz = grid != 0
+    n = jnp.sum(nz)
+    n_f = jnp.maximum(n, 1).astype(jnp.float32)
+    mean = jnp.sum(grid) / n_f  # zeros contribute nothing to the sum
+    var = jnp.sum(jnp.where(nz, (grid - mean) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
+    std = jnp.sqrt(var)
+    use_std = (n > 1) & (std > 0)
+    denom = jnp.where(use_std, std, 1.0)
+    out = jnp.where(nz, (grid - mean) / denom, grid)
+    return jnp.where(n > 0, out, grid)
+
+
+def events_to_voxel_grid_np(
+    events: np.ndarray,
+    num_bins: int,
+    height: int,
+    width: int,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Host (numpy, float64) twin of :func:`events_to_voxel_grid` for loaders
+    and golden tests. events: [N,4] (t, x, y, p), time-sorted."""
+    grid = np.zeros(num_bins * height * width, dtype=np.float64)
+    if len(events) > 0:
+        t = events[:, 0].astype(np.float64)
+        xs = events[:, 1].astype(np.int64)
+        ys = events[:, 2].astype(np.int64)
+        pols = events[:, 3].astype(np.float64).copy()
+        pols[pols == 0] = -1
+
+        deltaT = t[-1] - t[0]
+        if deltaT == 0:
+            deltaT = 1.0
+        ts = (num_bins - 1) * (t - t[0]) / deltaT
+        tis = np.floor(ts)
+        dts = ts - tis
+        tis_i = tis.astype(np.int64)
+        vals_left = pols * (1.0 - dts)
+        vals_right = pols * dts
+
+        m = (tis < num_bins) & (tis >= 0)
+        np.add.at(grid, xs[m] + ys[m] * width + tis_i[m] * width * height, vals_left[m])
+        m = (tis + 1 < num_bins) & (tis >= 0)
+        np.add.at(
+            grid, xs[m] + ys[m] * width + (tis_i[m] + 1) * width * height, vals_right[m]
+        )
+
+    grid = grid.reshape(num_bins, height, width)
+    if normalize:
+        nz = grid != 0
+        n = nz.sum()
+        if n > 0:
+            mean = grid[nz].mean()
+            std = grid[nz].std(ddof=1) if n > 1 else 0.0
+            if std > 0:
+                grid[nz] = (grid[nz] - mean) / std
+            else:
+                grid[nz] = grid[nz] - mean
+    return grid.astype(np.float32)

@@ -1,0 +1,1 @@
+from eemflow_tpu.models.registry import get_model, MODEL_REGISTRY

@@ -1,0 +1,34 @@
+"""Pooling ops (NHWC).
+
+``avg_pool2d`` matches torch ``F.avg_pool2d(x, k, stride=k)`` (no padding,
+floor division of output size) as used for the EEMFlow feature pyramids
+(reference ``model/EEMFlow/EEMFlow.py:144-154``) and the CorrBlock pyramid
+(reference ``model/corr.py:25-27``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def avg_pool2d(x: jax.Array, kernel_size, stride=None) -> jax.Array:
+    """Average-pool an NHWC array. kernel_size/stride: int or (kh, kw)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if stride is None:
+        stride = kernel_size
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    kh, kw = kernel_size
+    sh, sw = stride
+    summed = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding="VALID",
+    )
+    return summed / jnp.asarray(kh * kw, x.dtype)

@@ -1,0 +1,20 @@
+"""Test config: force JAX onto CPU with 8 virtual devices so multi-chip
+sharding tests run anywhere (the TPU-world fake backend the reference never
+had — SURVEY.md §4).  Must run before any jax import."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402  (env must be set first)
+
+# Parity mode: JAX's default matmul precision downcasts fp32 (~1e-2 error);
+# golden tests compare against full-fp32 torch.  (The JAX_* env var spelling
+# is not honored for this option — set the config directly.)
+jax.config.update("jax_default_matmul_precision", "highest")

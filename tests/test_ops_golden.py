@@ -1,0 +1,238 @@
+"""Golden tests: core ops vs torch-CPU reference semantics.
+
+torch here is only the *oracle* (grid_sample / interpolate / avg_pool /
+unfold); no torch is used in the framework itself.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from eemflow_tpu.ops import (
+    InputPadder,
+    avg_pool2d,
+    bilinear_sampler,
+    backwarp,
+    backwarp_masked,
+    build_corr_pyramid,
+    convex_upsample_flow,
+    local_correlation,
+    lookup_corr_pyramid,
+    resize_bilinear,
+    upflow8,
+    upsample2d_flow_as,
+)
+from eemflow_tpu.ops.warp import warp_align_corners
+
+RNG = np.random.default_rng(0)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(np.transpose(x_nhwc, (0, 3, 1, 2))))
+
+
+def to_nhwc(t_nchw):
+    return t_nchw.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def test_input_padder_chairs_replicate():
+    x = RNG.standard_normal((2, 37, 53, 5)).astype(np.float32)
+    p = InputPadder((37, 53), mode="chairs", eval_pad_rate=64)
+    out = p.pad(jnp.asarray(x))[0]
+    # torch oracle: F.pad(l, r, t, b) replicate
+    l, r, t, b = p._pad
+    ref = TF.pad(nchw(x), (l, r, t, b), mode="replicate")
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), rtol=0, atol=0)
+    # unpad inverts
+    np.testing.assert_array_equal(np.asarray(p.unpad(out)), x)
+
+
+def test_avg_pool2d():
+    x = RNG.standard_normal((2, 64, 96, 7)).astype(np.float32)
+    for k in (2, 8, 16, 32):
+        got = avg_pool2d(jnp.asarray(x), k)
+        ref = TF.avg_pool2d(nchw(x), k, stride=k)
+        np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=1e-5)
+
+
+def test_resize_bilinear_both_modes():
+    x = RNG.standard_normal((2, 15, 23, 3)).astype(np.float32)
+    for size in [(30, 46), (45, 92), (8, 11), (64, 64)]:
+        for ac in (False, True):
+            got = resize_bilinear(jnp.asarray(x), size, align_corners=ac)
+            ref = TF.interpolate(nchw(x), size=size, mode="bilinear", align_corners=ac)
+            np.testing.assert_allclose(
+                np.asarray(got), to_nhwc(ref), atol=2e-5,
+                err_msg=f"size={size} ac={ac}",
+            )
+
+
+def test_upflow8():
+    x = RNG.standard_normal((1, 9, 13, 2)).astype(np.float32)
+    got = upflow8(jnp.asarray(x))
+    ref = 8 * TF.interpolate(nchw(x), size=(72, 104), mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=2e-5)
+
+
+def test_upsample2d_flow_as_rate():
+    x = RNG.standard_normal((2, 10, 14, 2)).astype(np.float32)
+    got = upsample2d_flow_as(jnp.asarray(x), (40, 56), if_rate=True)
+    ref = TF.interpolate(nchw(x), size=(40, 56), mode="bilinear", align_corners=True)
+    ref = ref * torch.tensor([56 / 14, 40 / 10]).view(1, 2, 1, 1)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=2e-4)
+
+
+def _torch_grid_sample_pix(img_nhwc, px, py, align_corners):
+    """Oracle: normalize pixel coords via 2x/(W-1)-1 then grid_sample."""
+    img = nchw(img_nhwc)
+    H, W = img.shape[-2:]
+    gx = 2 * torch.from_numpy(px) / max(W - 1, 1) - 1
+    gy = 2 * torch.from_numpy(py) / max(H - 1, 1) - 1
+    grid = torch.stack([gx, gy], dim=-1)
+    return TF.grid_sample(img, grid, align_corners=align_corners)
+
+
+def test_bilinear_sampler_matches_grid_sample_ac_true():
+    img = RNG.standard_normal((3, 12, 17, 4)).astype(np.float32)
+    px = (RNG.uniform(-3, 19, (3, 7, 9))).astype(np.float32)
+    py = (RNG.uniform(-3, 14, (3, 7, 9))).astype(np.float32)
+    coords = jnp.stack([jnp.asarray(px), jnp.asarray(py)], axis=-1)
+    got = bilinear_sampler(jnp.asarray(img), coords)
+    ref = _torch_grid_sample_pix(img, px, py, align_corners=True)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=1e-5)
+
+
+def test_backwarp_matches_torch_warp():
+    x = RNG.standard_normal((2, 11, 13, 3)).astype(np.float32)
+    flow = (RNG.uniform(-4, 4, (2, 11, 13, 2))).astype(np.float32)
+    got = backwarp(jnp.asarray(x), jnp.asarray(flow))
+    # oracle replicating tensor_tools.torch_warp: ac=False grid_sample
+    H, W = 11, 13
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = (gx[None] + flow[..., 0]).astype(np.float32)
+    py = (gy[None] + flow[..., 1]).astype(np.float32)
+    ref = _torch_grid_sample_pix(x, px, py, align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=1e-5)
+
+
+def test_backwarp_masked():
+    x = RNG.standard_normal((1, 9, 10, 2)).astype(np.float32)
+    flow = (RNG.uniform(-5, 5, (1, 9, 10, 2))).astype(np.float32)
+    got = backwarp_masked(jnp.asarray(x), jnp.asarray(flow))
+    H, W = 9, 10
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = (gx[None] + flow[..., 0]).astype(np.float32)
+    py = (gy[None] + flow[..., 1]).astype(np.float32)
+    ref = _torch_grid_sample_pix(x, px, py, align_corners=False)
+    ones = _torch_grid_sample_pix(np.ones((1, 9, 10, 1), np.float32), px, py, False)
+    ref = ref * (ones >= 1.0).float()
+    # The reference thresholds a bilinear interpolation of ones at exactly
+    # 1.0; torch occasionally rounds interior sums to 0.99999994 and spuriously
+    # masks interior samples.  Our analytic mask is the exact semantics —
+    # compare only where torch's ones-value is not fp-borderline.
+    ones_np = to_nhwc(ones)[..., 0]
+    stable = np.abs(ones_np - 1.0) > 1e-5
+    stable |= ones_np == 1.0
+    got_np = np.asarray(got)
+    ref_np = to_nhwc(ref)
+    np.testing.assert_allclose(got_np[stable], ref_np[stable], atol=1e-5)
+
+
+def test_warp_align_corners():
+    x = RNG.standard_normal((1, 9, 10, 2)).astype(np.float32)
+    flow = (RNG.uniform(-5, 5, (1, 9, 10, 2))).astype(np.float32)
+    got = warp_align_corners(jnp.asarray(x), jnp.asarray(flow))
+    H, W = 9, 10
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = (gx[None] + flow[..., 0]).astype(np.float32)
+    py = (gy[None] + flow[..., 1]).astype(np.float32)
+    ref = _torch_grid_sample_pix(x, px, py, align_corners=True)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=1e-5)
+
+
+def _local_corr_oracle(x, y, md):
+    """Naive numpy local correlation, dy-major channel order, /C."""
+    B, H, W, C = x.shape
+    k = 2 * md + 1
+    ypad = np.pad(y, ((0, 0), (md, md), (md, md), (0, 0)))
+    out = np.zeros((B, H, W, k * k), np.float32)
+    for dy in range(-md, md + 1):
+        for dx in range(-md, md + 1):
+            sh = ypad[:, md + dy : md + dy + H, md + dx : md + dx + W, :]
+            out[..., (dy + md) * k + (dx + md)] = (x * sh).sum(-1) / C
+    return out
+
+
+def test_local_correlation_full_and_sparse():
+    x = RNG.standard_normal((2, 10, 12, 16)).astype(np.float32)
+    y = RNG.standard_normal((2, 10, 12, 16)).astype(np.float32)
+    ref = _local_corr_oracle(x, y, 4)
+    got = local_correlation(jnp.asarray(x), jnp.asarray(y), 4)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    # sparse channel subset — the EEMFlow 49-channel index
+    idx = [1, 3, 5, 7, 9, 40, 41, 79, 80]
+    got_s = local_correlation(jnp.asarray(x), jnp.asarray(y), 4, indices=idx)
+    np.testing.assert_allclose(np.asarray(got_s), ref[..., idx], atol=1e-5)
+
+
+def test_corr_pyramid_and_lookup():
+    """Full CorrBlock parity vs a torch oracle implementing reference
+    model/corr.py semantics (matmul/√C, avg-pool pyramid, window lookup with
+    the x-major offset quirk)."""
+    B, H, W, C = 2, 8, 12, 16
+    r, levels = 4, 3
+    f1 = RNG.standard_normal((B, H, W, C)).astype(np.float32)
+    f2 = RNG.standard_normal((B, H, W, C)).astype(np.float32)
+    coords = RNG.uniform(0, 8, (B, H, W, 2)).astype(np.float32)
+
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=levels)
+    got = lookup_corr_pyramid(pyr, jnp.asarray(coords), radius=r)
+
+    # torch oracle
+    t1 = nchw(f1).reshape(B, C, H * W)
+    t2 = nchw(f2).reshape(B, C, H * W)
+    corr = torch.matmul(t1.transpose(1, 2), t2).view(B, H, W, 1, H, W)
+    corr = corr / np.sqrt(C)
+    corr = corr.reshape(B * H * W, 1, H, W)
+    out_pyr = []
+    tc = torch.from_numpy(coords).view(B * H * W, 1, 1, 2)
+    for i in range(levels):
+        dx = torch.linspace(-r, r, 2 * r + 1)
+        dy = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), dim=-1)
+        centroid = tc / 2**i
+        coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+        Hl, Wl = corr.shape[-2:]
+        gx = 2 * coords_lvl[..., 0] / max(Wl - 1, 1) - 1
+        gy = 2 * coords_lvl[..., 1] / max(Hl - 1, 1) - 1
+        sampled = TF.grid_sample(
+            corr, torch.stack([gx, gy], dim=-1), align_corners=True
+        )
+        out_pyr.append(sampled.view(B, H, W, -1))
+        corr = TF.avg_pool2d(corr, 2, stride=2)
+    ref = torch.cat(out_pyr, dim=-1).numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+
+def test_convex_upsample():
+    B, h, w = 2, 6, 7
+    flow = RNG.standard_normal((B, h, w, 2)).astype(np.float32)
+    mask = RNG.standard_normal((B, h, w, 9 * 64)).astype(np.float32)
+    got = convex_upsample_flow(jnp.asarray(flow), jnp.asarray(mask))
+
+    # torch oracle replicating eraft.upsample_flow semantics
+    tflow = nchw(flow)
+    tmask = nchw(mask).view(B, 1, 9, 8, 8, h, w)
+    tmask = torch.softmax(tmask, dim=2)
+    up_flow = TF.unfold(8 * tflow, [3, 3], padding=1)
+    up_flow = up_flow.view(B, 2, 9, 1, 1, h, w)
+    up = torch.sum(tmask * up_flow, dim=2)
+    up = up.permute(0, 1, 4, 2, 5, 3).reshape(B, 2, 8 * h, 8 * w)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(up), atol=1e-5)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

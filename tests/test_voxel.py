@@ -1,0 +1,96 @@
+"""Voxelizer parity: device XLA scatter vs host numpy twin vs a torch oracle
+replicating the reference EventSequenceToVoxelGrid_Pytorch semantics."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from eemflow_tpu.events import events_to_voxel_grid, events_to_voxel_grid_np, pad_events
+
+RNG = np.random.default_rng(42)
+
+
+def torch_voxel_oracle(events, num_bins, height, width, normalize=True):
+    """Re-derived oracle of reference loader_utils.py:447-537 semantics."""
+    ev = torch.from_numpy(events.astype(np.float64))
+    voxel_grid = torch.zeros(num_bins, height, width, dtype=torch.float32).flatten()
+    last, first = ev[-1, 0], ev[0, 0]
+    deltaT = last - first
+    if deltaT == 0:
+        deltaT = 1.0
+    ev[:, 0] = (num_bins - 1) * (ev[:, 0] - first) / deltaT
+    ts = ev[:, 0]
+    xs = ev[:, 1].long()
+    ys = ev[:, 2].long()
+    pols = ev[:, 3].float()
+    pols[pols == 0] = -1
+    tis = torch.floor(ts)
+    tis_long = tis.long()
+    dts = ts - tis
+    vals_left = pols * (1.0 - dts.float())
+    vals_right = pols * dts.float()
+
+    valid = (tis < num_bins) & (tis >= 0)
+    voxel_grid.index_add_(
+        0, (xs[valid] + ys[valid] * width + tis_long[valid] * width * height), vals_left[valid]
+    )
+    valid = ((tis + 1) < num_bins) & (tis >= 0)
+    voxel_grid.index_add_(
+        0,
+        (xs[valid] + ys[valid] * width + (tis_long[valid] + 1) * width * height),
+        vals_right[valid],
+    )
+    voxel_grid = voxel_grid.view(num_bins, height, width)
+    if normalize:
+        mask = torch.nonzero(voxel_grid, as_tuple=True)
+        if mask[0].size()[0] > 0:
+            mean = voxel_grid[mask].mean()
+            std = voxel_grid[mask].std()
+            if std > 0:
+                voxel_grid[mask] = (voxel_grid[mask] - mean) / std
+            else:
+                voxel_grid[mask] = voxel_grid[mask] - mean
+    return voxel_grid.numpy()
+
+
+def make_events(n, height, width, tmax=30000.0):
+    t = np.sort(RNG.uniform(0, tmax, n))
+    x = RNG.integers(0, width, n)
+    y = RNG.integers(0, height, n)
+    p = RNG.choice([-1.0, 1.0], n)
+    return np.stack([t, x, y, p], axis=1)
+
+
+@pytest.mark.parametrize("n,bins,h,w", [(5000, 5, 64, 86), (200, 5, 16, 16), (1, 5, 8, 8)])
+def test_voxel_parity(n, bins, h, w):
+    ev = make_events(n, h, w)
+    ref = torch_voxel_oracle(ev.copy(), bins, h, w)
+    got_np = events_to_voxel_grid_np(ev.copy(), bins, h, w)
+    np.testing.assert_allclose(got_np, ref, atol=1e-4)
+
+    padded, n_valid = pad_events(ev, n + 128)
+    got_dev = events_to_voxel_grid(jnp.asarray(padded), jnp.asarray(n_valid), bins, h, w)
+    np.testing.assert_allclose(np.asarray(got_dev), ref, atol=2e-3)
+
+
+def test_voxel_zero_polarity_mapped():
+    ev = make_events(500, 16, 16)
+    ev[:, 3] = np.where(ev[:, 3] < 0, 0.0, 1.0)  # 0/1 polarities
+    ref = torch_voxel_oracle(ev.copy(), 5, 16, 16)
+    got = events_to_voxel_grid_np(ev.copy(), 5, 16, 16)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_voxel_truncation_and_padding_consistency():
+    """Padded device buffer must ignore the padding tail."""
+    ev = make_events(1000, 32, 32)
+    ref = events_to_voxel_grid_np(ev.copy(), 5, 32, 32)
+    padded, n_valid = pad_events(ev, 4096)
+    got = events_to_voxel_grid(jnp.asarray(padded), jnp.asarray(n_valid), 5, 32, 32)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
