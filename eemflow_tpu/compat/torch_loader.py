@@ -1,0 +1,115 @@
+"""PyTorch checkpoint → flax params converter.
+
+Loads the reference's released ``.pth.tar`` checkpoints
+(``{'epoch', 'state_dict'}``, reference ``train_EEMFlow_HREM.py:127-130``),
+strips the ``DataParallel`` ``module.`` prefix
+(reference ``test_EEMFlow_HREM.py:63-66``) and rewrites keys/layouts:
+
+  * conv weight  [O, I/g, kh, kw] → kernel [kh, kw, I/g, O]
+  * linear weight [O, I]          → kernel [I, O]
+  * conv-transpose weight [I, O, kh, kw] → kernel [kh, kw, I, O] (kept in a
+    torch-compatible layout by our ``Deconv``; listed per-model)
+  * norm weight/bias → scale/bias; BatchNorm running stats → batch_stats
+
+Model-specific torch-attribute → flax-module path aliases are passed in by
+each model's ``TORCH_ALIASES`` table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def strip_module_prefix(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len("module.") :] if k.startswith("module.") else k] = v
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth(.tar) file to a flat {key: np.ndarray} dict (CPU)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = strip_module_prefix(sd)
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in sd.items()}
+
+
+def _set_path(tree: dict, path: Tuple[str, ...], leaf_name: str, value) -> None:
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+def torch_state_dict_to_flax(
+    state_dict: Dict[str, np.ndarray],
+    alias: Optional[Callable[[str], Optional[Tuple[str, ...]]]] = None,
+    transposed_conv_paths: Iterable[str] = (),
+    batchnorm_paths: Iterable[str] = (),
+) -> Dict[str, dict]:
+    """Convert a flat torch state_dict to flax variables.
+
+    Returns {'params': ..., 'batch_stats': ...} (batch_stats only if any).
+
+    alias: maps a torch module path (dot-joined, without the trailing
+    parameter name) to a flax path tuple; returning None uses the torch path
+    split on dots.  transposed_conv_paths / batchnorm_paths identify modules
+    needing special layout handling.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    tconv = set(transposed_conv_paths)
+    bnorm = set(batchnorm_paths)
+
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        mod_path, leaf = key.rsplit(".", 1)
+        path = alias(mod_path) if alias is not None else None
+        if path is None:
+            path = tuple(mod_path.split("."))
+
+        v = np.asarray(val)
+        is_bn = mod_path in bnorm
+        if leaf == "weight":
+            if is_bn:
+                _set_path(params, path, "scale", v)
+            elif v.ndim == 4:
+                if mod_path in tconv:
+                    # torch convtranspose [I, O, kh, kw] → [kh, kw, I, O]
+                    _set_path(params, path, "kernel", v.transpose(2, 3, 0, 1))
+                else:
+                    _set_path(params, path, "kernel", v.transpose(2, 3, 1, 0))
+            elif v.ndim == 2:
+                _set_path(params, path, "kernel", v.T)
+            else:
+                _set_path(params, path, "scale", v)
+        elif leaf == "bias":
+            _set_path(params, path, "bias", v)
+        elif leaf == "running_mean":
+            _set_path(batch_stats, path, "mean", v)
+        elif leaf == "running_var":
+            _set_path(batch_stats, path, "var", v)
+        else:
+            _set_path(params, path, leaf, v)
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def eemflow_alias(mod_path: str) -> Optional[Tuple[str, ...]]:
+    """EEMFlow torch attribute paths → flax module paths.
+
+    The shared conv pyramid lives under the 'pyramid' submodule in our
+    model; everything else maps 1:1."""
+    parts = tuple(mod_path.split("."))
+    if parts[0].startswith("pconv"):
+        return ("pyramid",) + parts
+    return parts

@@ -1,0 +1,158 @@
+"""EEMFlow — the paper's efficient meshflow/optical-flow network.
+
+Architecture (reference ``model/EEMFlow/EEMFlow.py:71-183``):
+  * 3-stage stride-2 conv pyramid (n_bins→16→32→64, LeakyReLU 0.1),
+  * aggressive average pooling of each level to a ~mesh-resolution grid
+    (pool 32/16/8 — *the* efficiency trick: correlation runs at ≤40×23),
+  * per-level 81-channel local correlation sparsified by a fixed channel
+    ``index_select``, fused here directly into the correlation kernel,
+  * three ShuffleNet-style grouped-conv decoders + 1×1 fusion,
+  * single bilinear upsampled flow prediction (align_corners=False).
+
+Known reference inconsistency (documented, not replicated): the shipped
+49-element index at ``EEMFlow.py:85-94`` yields 49+16=65 decoder input
+channels, but the decoders are built with 69 (``EEMFlow.py:100-102``) — the
+model as committed would fail at its first decoder call.  The 53-element
+diamond mask from EEMFlow+ (``EEMFlow+.py:89-97``) gives exactly 53+16=69,
+so we default to it; ``corr_indices`` is configurable for checkpoint
+compatibility.
+
+TPU design notes: NHWC layout, correlation computes only the selected
+channels (no 81→53 materialize-then-select), all shapes static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from eemflow_tpu.models.layers import ConvRelu, channel_shuffle, conv2d
+from eemflow_tpu.ops.correlation import local_correlation
+from eemflow_tpu.ops.pad import InputPadder
+from eemflow_tpu.ops.pooling import avg_pool2d
+from eemflow_tpu.ops.upsample import upsample_flow_to
+
+# Stale 49-channel mask as committed in the reference (EEMFlow.py:85-94);
+# kept for documentation / potential checkpoint variants.
+INDEX_49 = (
+    1, 3, 5, 7,
+    9, 11, 13, 15, 17,
+    19, 21, 22, 23, 25,
+    27, 29, 30, 31, 32, 33, 35,
+    37, 38, 39, 40, 41, 42, 43,
+    45, 47, 48, 49, 50, 51, 53,
+    55, 57, 58, 59, 61,
+    63, 65, 67, 69, 71,
+    73, 75, 77, 79,
+)
+
+# 53-channel diamond mask (EEMFlow+.py:89-97) — consistent with Decoder(69).
+INDEX_53 = (
+    0, 2, 4, 6, 8,
+    10, 12, 14, 16,
+    18, 20, 21, 22, 23, 24, 26,
+    28, 29, 30, 31, 32, 33, 34,
+    36, 38, 39, 40, 41, 42, 44,
+    46, 47, 48, 49, 50, 51, 52,
+    54, 56, 57, 58, 59, 60, 62,
+    64, 66, 68, 70,
+    72, 74, 76, 78, 80,
+)
+
+
+class Decoder(nn.Module):
+    """7-conv flow decoder with grouped convs + channel shuffle
+    (reference ``EEMFlow.py:37-69``)."""
+
+    groups: int
+    mid: int = 100
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.groups
+        x = ConvRelu(self.mid, name="conv1")(x)
+        if g == 1:
+            x = ConvRelu(self.mid, name="conv2")(x)
+            x = ConvRelu(self.mid, name="conv3")(x)
+            x = ConvRelu(self.mid, name="conv4")(x)
+        else:
+            x = channel_shuffle(ConvRelu(self.mid, groups=g, name="conv2")(x), g)
+            x = channel_shuffle(ConvRelu(self.mid, groups=g, name="conv3")(x), g)
+            x = channel_shuffle(ConvRelu(self.mid, groups=g, name="conv4")(x), g)
+        x = ConvRelu(64, name="conv5")(x)
+        x = ConvRelu(32, name="conv6")(x)
+        return conv2d(2, 3, 1, name="conv7")(x)
+
+
+class Pyramid(nn.Module):
+    """Shared 3-stage stride-2 feature pyramid (reference EEMFlow.py:75-82)."""
+
+    @nn.compact
+    def __call__(self, x):
+        f1 = ConvRelu(16, name="pconv1_2")(ConvRelu(16, stride=2, name="pconv1_1")(x))
+        f2 = ConvRelu(32, name="pconv2_3")(
+            ConvRelu(32, name="pconv2_2")(ConvRelu(32, stride=2, name="pconv2_1")(f1))
+        )
+        f3 = ConvRelu(64, name="pconv3_3")(
+            ConvRelu(64, name="pconv3_2")(ConvRelu(64, stride=2, name="pconv3_1")(f2))
+        )
+        return f1, f2, f3
+
+
+class EEMFlow(nn.Module):
+    """Flagship model.  __call__(ev1, ev2 [B,H,W,bins]) →
+    ((ev1, ev2), [flow [B,H,W,2]]) matching the reference contract."""
+
+    groups: int = 5
+    n_first_channels: int = 5
+    out_mesh_size: bool = False
+    corr_indices: Sequence[int] = INDEX_53
+    max_displacement: int = 4
+    pad_rate: int = 64
+
+    @nn.compact
+    def __call__(self, events1, events2, train: bool = False):
+        B, H, W, _ = events1.shape
+        out_size = (16, 16) if (train and self.out_mesh_size) else (H, W)
+
+        padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
+        ev1, ev2 = padder.pad(events1, events2)
+
+        pyramid = Pyramid(name="pyramid")
+        f11, f12, f13 = pyramid(ev1)
+        f21, f22, f23 = pyramid(ev2)
+
+        # pool each level to the coarse correlation grid (32/16/8)
+        f14_1, f24_1 = avg_pool2d(f11, 32), avg_pool2d(f21, 32)
+        f14_2, f24_2 = avg_pool2d(f12, 16), avg_pool2d(f22, 16)
+        f14_3, f24_3 = avg_pool2d(f13, 8), avg_pool2d(f23, 8)
+
+        idx = tuple(self.corr_indices)
+        md = self.max_displacement
+
+        cv_1 = local_correlation(f14_1, f24_1, md, indices=idx)
+        r_1 = ConvRelu(16, name="rconv_1")(f14_1)
+        flow_1 = Decoder(self.groups, name="decoder_1")(
+            jnp.concatenate([cv_1, r_1], axis=-1)
+        )
+
+        cv_2 = local_correlation(f14_2, f24_2, md, indices=idx)
+        r_2 = ConvRelu(16, name="rconv_2")(f14_2)
+        flow_2 = Decoder(self.groups, name="decoder_2")(
+            jnp.concatenate([cv_2, r_2], axis=-1)
+        )
+
+        cv_3 = local_correlation(f14_3, f24_3, md, indices=idx)
+        r_3 = ConvRelu(16, name="rconv_3")(f14_3)
+        flow_3 = Decoder(self.groups, name="decoder_3")(
+            jnp.concatenate([cv_3, r_3], axis=-1)
+        )
+
+        flow_concat = jnp.concatenate([flow_1, flow_2, flow_3], axis=-1)
+        out = conv2d(2, kernel_size=1, padding=0, name="out_conv")(flow_concat)
+        flow_up = upsample_flow_to(out, out_size)
+
+        return (events1, events2), [flow_up]

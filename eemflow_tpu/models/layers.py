@@ -3,12 +3,14 @@
 Conv padding is always passed explicitly as torch-style symmetric tuples so
 output positions match torch exactly (XLA 'SAME' distributes asymmetric pads
 differently for stride 2).  Initializers mirror the reference's
-``kaiming_normal_`` calls.
+``kaiming_normal_`` calls.  Module names mirror torch attribute paths
+(Sequential index '0' for the conv inside conv+relu blocks) so the
+checkpoint converter is a mechanical key rewrite.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -24,39 +26,39 @@ def leaky_relu01(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
-class Conv(nn.Module):
+def conv2d(
+    features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: Optional[int] = None,
+    dilation: int = 1,
+    groups: int = 1,
+    use_bias: bool = True,
+    kernel_init: Callable = kaiming_in,
+    name: Optional[str] = None,
+) -> nn.Conv:
     """torch-style Conv2d: explicit symmetric padding, NHWC."""
-
-    features: int
-    kernel_size: int = 3
-    stride: int = 1
-    padding: Optional[int] = None
-    dilation: int = 1
-    groups: int = 1
-    use_bias: bool = True
-    kernel_init: Callable = kaiming_in
-
-    @nn.compact
-    def __call__(self, x):
-        k = self.kernel_size
-        p = self.padding
-        if p is None:
-            p = ((k - 1) * self.dilation) // 2
-        return nn.Conv(
-            self.features,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            name="conv",
-        )(x)
+    k = kernel_size
+    p = padding
+    if p is None:
+        p = ((k - 1) * dilation) // 2
+    return nn.Conv(
+        features,
+        (k, k),
+        strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        name=name,
+    )
 
 
 class ConvRelu(nn.Module):
-    """conv + LeakyReLU(0.1) — reference ``EEMFlow.py:26-30`` convrelu."""
+    """conv + LeakyReLU(0.1) — reference ``EEMFlow.py:26-30`` convrelu.
+
+    The conv is named '0' to mirror the torch Sequential layout."""
 
     features: int
     kernel_size: int = 3
@@ -67,7 +69,7 @@ class ConvRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(
+        x = conv2d(
             self.features,
             self.kernel_size,
             self.stride,
@@ -80,20 +82,23 @@ class ConvRelu(nn.Module):
 
 
 class Deconv(nn.Module):
-    """torch ConvTranspose2d(k=4, s=2, p=1) equivalent (NHWC)."""
+    """torch ConvTranspose2d(k=4, s=2, p=1) equivalent (NHWC).
+
+    Param 'kernel' is stored in torch layout [Cin, Cout, kh, kw] so
+    checkpoint conversion is a straight copy; the apply path builds the
+    equivalent dilated cross-correlation (flip kernel, swap in/out).
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        # torch convtranspose: out = (H-1)*2 - 2*1 + 4 = 2H.
-        # lax equivalent: lhs_dilation=2, padding k-1-p on both sides, and the
-        # kernel is *flipped* relative to a cross-correlation.
+        cin = x.shape[-1]
+        w = self.param("kernel", kaiming_in, (4, 4, cin, self.features), jnp.float32)
+        # transposed conv == conv with lhs_dilation=s, padding k-1-p, flipped kernel
         y = jax.lax.conv_general_dilated(
             x,
-            self.param(
-                "kernel", kaiming_in, (4, 4, x.shape[-1], self.features), jnp.float32
-            )[::-1, ::-1],
+            w[::-1, ::-1],
             window_strides=(1, 1),
             padding=((2, 1), (2, 1)),
             lhs_dilation=(2, 2),
@@ -121,34 +126,3 @@ class InstanceNorm(nn.Module):
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + self.eps)
-
-
-class GroupNorm(nn.Module):
-    """torch GroupNorm (affine), NHWC."""
-
-    num_groups: int
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, name="gn")(x)
-
-
-class BatchNorm(nn.Module):
-    """torch BatchNorm2d (affine, running stats), NHWC.
-
-    ``use_running_average`` follows the train flag threaded through models.
-    """
-
-    use_running_average: bool = True
-    eps: float = 1e-5
-    momentum: float = 0.9  # flax momentum = 1 - torch momentum (0.1)
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            epsilon=self.eps,
-            momentum=self.momentum,
-            name="bn",
-        )(x)

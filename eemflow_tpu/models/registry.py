@@ -1,0 +1,52 @@
+"""Model registry — name → constructor, mirroring the reference CLI registry
+(``train_EEMFlow_HREM.py:30-55``: eemflow, eraft, gma, gmflow, gmflownet,
+flowformer, kpaflow, skflow, irrpwc, dceiflow, steflow, spikeflownet...).
+
+Entries are filled in as families land; ``get_model`` raises with the list
+of known names for anything not yet built.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(ctor):
+        MODEL_REGISTRY[name] = ctor
+        return ctor
+
+    return deco
+
+
+def get_model(name: str, **kwargs):
+    """Build a model by registry name (kwargs forwarded to the flax module)."""
+    # populate lazily to avoid import cycles
+    _populate()
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown model '{name}'. Available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](**kwargs)
+
+
+def _populate() -> None:
+    if MODEL_REGISTRY:
+        return
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    MODEL_REGISTRY["eemflow"] = EEMFlow
+    try:
+        from eemflow_tpu.models.eraft import ERAFT
+
+        MODEL_REGISTRY["eraft"] = ERAFT
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+        MODEL_REGISTRY["eemflow_plus"] = EEMFlowPlus
+    except ImportError:
+        pass
