@@ -113,3 +113,34 @@ def eemflow_alias(mod_path: str) -> Optional[Tuple[str, ...]]:
     if parts[0].startswith("pconv"):
         return ("pyramid",) + parts
     return parts
+
+
+def eraft_alias(mod_path: str) -> Tuple[str, ...]:
+    """E-RAFT torch attribute paths → flax module paths.
+
+    layerX.N → layerX_N; downsample Sequential [conv, norm3] →
+    downsample_0 / norm3 (the reference registers norm3 both standalone and
+    inside the Sequential — both spellings map to the same flax path);
+    mask.N → mask_N."""
+    parts = mod_path.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if p.startswith("layer") and nxt is not None and nxt.isdigit():
+            out.append(f"{p}_{nxt}")
+            i += 2
+        elif p == "downsample" and nxt == "0":
+            out.append("downsample_0")
+            i += 2
+        elif p == "downsample" and nxt == "1":
+            out.append("norm3")
+            i += 2
+        elif p == "mask" and nxt is not None and nxt.isdigit():
+            out.append(f"mask_{nxt}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out)

@@ -75,6 +75,13 @@ def lookup_corr_pyramid(
         py = cy[:, None, None] / scale + offs[None, None, :]  # [N, 1, n]
         px = jnp.broadcast_to(px, (B * H * W, n, n))
         py = jnp.broadcast_to(py, (B * H * W, n, n))
+        # degenerate-axis quirk of the reference's grid_sample roundtrip:
+        # a size-1 level axis maps every coordinate to pixel 0 (see
+        # ops.warp.bilinear_sampler docstring)
+        if corr.shape[2] == 1:
+            px = jnp.zeros_like(px)
+        if corr.shape[1] == 1:
+            py = jnp.zeros_like(py)
         sampled = _gather_bilinear(corr, px, py)  # [N, n, n, 1]
         out_levels.append(sampled.reshape(B, H, W, n * n))
     return jnp.concatenate(out_levels, axis=-1).astype(jnp.float32)

@@ -47,9 +47,10 @@ class InputPadder:
         return out
 
     def unpad(self, x):
+        """Remove padding; works on [..., H, W, C] with any leading dims."""
         l, r, t, b = self._pad
-        ht, wd = x.shape[1], x.shape[2]
-        return x[:, t : ht - b, l : wd - r, :]
+        ht, wd = x.shape[-3], x.shape[-2]
+        return x[..., t : ht - b, l : wd - r, :]
 
 
 class ImagePadder:

@@ -74,9 +74,18 @@ def grid_sample_pixel(img: jax.Array, px: jax.Array, py: jax.Array,
 
 def bilinear_sampler(img: jax.Array, coords: jax.Array, mask: bool = False):
     """RAFT-style sampler. img: [B,H,W,C]; coords: [B,h,w,2] (x, y) pixel
-    coords, align_corners=True, zero padding."""
+    coords, align_corners=True, zero padding.
+
+    Degenerate-axis quirk (replicated from the reference's normalize →
+    grid_sample roundtrip, ``model_utils.py:10-15``): on a size-1 axis,
+    ``2x/max(W-1,1) - 1`` unnormalizes every coordinate to pixel 0 — all
+    samples read the single pixel instead of being out of bounds."""
     px = coords[..., 0]
     py = coords[..., 1]
+    if img.shape[2] == 1:
+        px = jnp.zeros_like(px)
+    if img.shape[1] == 1:
+        py = jnp.zeros_like(py)
     out = _gather_bilinear(img, px, py)
     if mask:
         B, H, W, _ = img.shape

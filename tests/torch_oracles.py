@@ -117,3 +117,223 @@ class OracleEEMFlow(nn.Module):
 
         out = self.out_conv(torch.cat([flow1, flow2, flow3], 1))
         return F.interpolate(out, size=(H, W), mode="bilinear", align_corners=False)
+
+
+# ---------------------------------------------------------------- E-RAFT ----
+
+class OracleResidualBlock(nn.Module):
+    def __init__(self, in_planes, planes, norm_fn, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_planes, planes, 3, stride, 1)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1)
+
+        def make_norm():
+            if norm_fn == "group":
+                return nn.GroupNorm(planes // 8, planes)
+            if norm_fn == "batch":
+                return nn.BatchNorm2d(planes)
+            if norm_fn == "instance":
+                return nn.InstanceNorm2d(planes)
+            return nn.Sequential()
+
+        self.norm1 = make_norm()
+        self.norm2 = make_norm()
+        if stride != 1:
+            self.norm3 = make_norm()
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_planes, planes, 1, stride), self.norm3
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.norm1(self.conv1(x)))
+        y = F.relu(self.norm2(self.conv2(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return F.relu(x + y)
+
+
+class OracleBasicEncoder(nn.Module):
+    def __init__(self, output_dim, norm_fn, n_first_channels):
+        super().__init__()
+        self.conv1 = nn.Conv2d(n_first_channels, 64, 7, 2, 3)
+        if norm_fn == "group":
+            self.norm1 = nn.GroupNorm(8, 64)
+        elif norm_fn == "batch":
+            self.norm1 = nn.BatchNorm2d(64)
+        elif norm_fn == "instance":
+            self.norm1 = nn.InstanceNorm2d(64)
+        else:
+            self.norm1 = nn.Sequential()
+        self.layer1 = nn.Sequential(
+            OracleResidualBlock(64, 64, norm_fn), OracleResidualBlock(64, 64, norm_fn)
+        )
+        self.layer2 = nn.Sequential(
+            OracleResidualBlock(64, 96, norm_fn, 2), OracleResidualBlock(96, 96, norm_fn)
+        )
+        self.layer3 = nn.Sequential(
+            OracleResidualBlock(96, 128, norm_fn, 2),
+            OracleResidualBlock(128, 128, norm_fn),
+        )
+        self.conv2 = nn.Conv2d(128, output_dim, 1)
+
+    def forward(self, x):
+        x = F.relu(self.norm1(self.conv1(x)))
+        return self.conv2(self.layer3(self.layer2(self.layer1(x))))
+
+
+def oracle_bilinear_sampler(img, coords):
+    H, W = img.shape[-2:]
+    xg, yg = coords.split([1, 1], dim=-1)
+    xg = 2 * xg / max(W - 1, 1) - 1
+    yg = 2 * yg / max(H - 1, 1) - 1
+    return F.grid_sample(img, torch.cat([xg, yg], -1), align_corners=True)
+
+
+class OracleCorrBlock:
+    def __init__(self, f1, f2, num_levels=4, radius=4):
+        self.radius = radius
+        b, c, h, w = f1.shape
+        corr = torch.matmul(
+            f1.view(b, c, h * w).transpose(1, 2), f2.view(b, c, h * w)
+        ) / (c**0.5)
+        corr = corr.view(b * h * w, 1, h, w)
+        self.shape = (b, h, w)
+        self.pyr = [corr]
+        for _ in range(num_levels - 1):
+            corr = F.avg_pool2d(corr, 2, 2)
+            self.pyr.append(corr)
+
+    def __call__(self, coords):
+        r = self.radius
+        b, h, w = self.shape
+        coords = coords.permute(0, 2, 3, 1)
+        out = []
+        for i, corr in enumerate(self.pyr):
+            d = torch.linspace(-r, r, 2 * r + 1)
+            delta = torch.stack(torch.meshgrid(d, d, indexing="ij"), -1)
+            cl = coords.reshape(b * h * w, 1, 1, 2) / 2**i + delta.view(
+                1, 2 * r + 1, 2 * r + 1, 2
+            )
+            out.append(oracle_bilinear_sampler(corr, cl).view(b, h, w, -1))
+        return torch.cat(out, -1).permute(0, 3, 1, 2).contiguous()
+
+
+class OracleUpdateBlock(nn.Module):
+    def __init__(self, hidden=128, corr_levels=4, corr_radius=4):
+        super().__init__()
+        cor_planes = corr_levels * (2 * corr_radius + 1) ** 2
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.convc1 = nn.Conv2d(cor_planes, 256, 1)
+                self.convc2 = nn.Conv2d(256, 192, 3, padding=1)
+                self.convf1 = nn.Conv2d(2, 128, 7, padding=3)
+                self.convf2 = nn.Conv2d(128, 64, 3, padding=1)
+                self.conv = nn.Conv2d(256, 126, 3, padding=1)
+
+            def forward(self, flow, corr):
+                c = F.relu(self.convc2(F.relu(self.convc1(corr))))
+                f = F.relu(self.convf2(F.relu(self.convf1(flow))))
+                out = F.relu(self.conv(torch.cat([c, f], 1)))
+                return torch.cat([out, flow], 1)
+
+        class Gru(nn.Module):
+            def __init__(self, hd, ind):
+                super().__init__()
+                self.convz1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convr1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convq1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convz2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convr2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convq2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+
+            def forward(self, h, x):
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz1(hx))
+                r = torch.sigmoid(self.convr1(hx))
+                q = torch.tanh(self.convq1(torch.cat([r * h, x], 1)))
+                h = (1 - z) * h + z * q
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz2(hx))
+                r = torch.sigmoid(self.convr2(hx))
+                q = torch.tanh(self.convq2(torch.cat([r * h, x], 1)))
+                return (1 - z) * h + z * q
+
+        class Head(nn.Module):
+            def __init__(self, hd):
+                super().__init__()
+                self.conv1 = nn.Conv2d(hd, 256, 3, padding=1)
+                self.conv2 = nn.Conv2d(256, 2, 3, padding=1)
+
+            def forward(self, x):
+                return self.conv2(F.relu(self.conv1(x)))
+
+        self.encoder = Enc()
+        self.gru = Gru(hidden, 128 + hidden)
+        self.flow_head = Head(hidden)
+        self.mask = nn.Sequential(
+            nn.Conv2d(hidden, hidden * 2, 3, padding=1),
+            nn.ReLU(),
+            nn.Conv2d(hidden * 2, 64 * 9, 1),
+        )
+
+    def forward(self, net, inp, corr, flow):
+        m = self.encoder(flow, corr)
+        net = self.gru(net, torch.cat([inp, m], 1))
+        return net, 0.25 * self.mask(net), self.flow_head(net)
+
+
+class OracleERAFT(nn.Module):
+    def __init__(self, n_first_channels=5):
+        super().__init__()
+        self.fnet = OracleBasicEncoder(256, "instance", n_first_channels)
+        self.cnet = OracleBasicEncoder(256, "batch", n_first_channels)
+        self.update_block = OracleUpdateBlock()
+
+    @staticmethod
+    def upsample_flow(flow, mask):
+        N, _, H, W = flow.shape
+        mask = torch.softmax(mask.view(N, 1, 9, 8, 8, H, W), dim=2)
+        up = F.unfold(8 * flow, [3, 3], padding=1).view(N, 2, 9, 1, 1, H, W)
+        up = torch.sum(mask * up, dim=2)
+        return up.permute(0, 1, 4, 2, 5, 3).reshape(N, 2, 8 * H, 8 * W)
+
+    def forward(self, ev1, ev2, iters=12, pad_rate=32):
+        H, W = ev1.shape[-2:]
+        r = pad_rate
+        pad_ht = (((H // r) + 1) * r - H) % r
+        pad_wd = (((W // r) + 1) * r - W) % r
+        pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+        im1 = F.pad(ev1, pad, mode="replicate")
+        im2 = F.pad(ev2, pad, mode="replicate")
+
+        f1, f2 = self.fnet(im1), self.fnet(im2)
+        corr_fn = OracleCorrBlock(f1, f2)
+        cnet = self.cnet(im1)
+        net, inp = torch.split(cnet, [128, 128], dim=1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+
+        N, _, Hp, Wp = im1.shape
+        ys, xs = torch.meshgrid(
+            torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij"
+        )
+        coords0 = (
+            torch.stack([xs, ys], dim=0).float().unsqueeze(0).repeat(N, 1, 1, 1)
+        )
+        coords1 = coords0.clone()
+
+        preds = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta = self.update_block(net, inp, corr, flow)
+            coords1 = coords1 + delta
+            flow_up = self.upsample_flow(coords1 - coords0, up_mask)
+            l, rr, t, b = pad
+            ht, wd = flow_up.shape[-2:]
+            preds.append(flow_up[..., t : ht - b, l : wd - rr])
+        return preds
