@@ -144,3 +144,36 @@ def eraft_alias(mod_path: str) -> Tuple[str, ...]:
             out.append(p)
             i += 1
     return tuple(out)
+
+
+def eemflow_plus_alias(mod_path: str) -> Optional[Tuple[str, ...]]:
+    """EEMFlow+ torch attribute paths → flax module paths.
+
+    pconv* live under 'pyramid'; ``conv_1x1`` ModuleList entries become
+    ``conv_1x1_{i}`` (dropping the inner Sequential '0'); the SGU's
+    ``conv_last.0`` becomes ``conv_last_0``."""
+    parts = mod_path.split(".")
+    if parts[0].startswith("pconv"):
+        return ("pyramid",) + tuple(parts)
+    if parts[0] == "conv_1x1":
+        # Sequential(conv, LeakyReLU) → ConvRelu with inner '0'
+        return (f"conv_1x1_{parts[1]}",) + tuple(parts[2:])
+    out = []
+    i = 0
+    while i < len(parts):
+        if parts[i] == "conv_last" and i + 1 < len(parts) and parts[i + 1] == "0":
+            out.append("conv_last_0")
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return tuple(out)
+
+
+def filter_state_dict(
+    state_dict: Dict[str, np.ndarray], drop_prefixes: Iterable[str]
+) -> Dict[str, np.ndarray]:
+    """Drop checkpoint entries with no live forward path (e.g. EEMFlow+'s
+    unused deconvs, see models.eemflow_plus.EEMFLOW_PLUS_DROP)."""
+    drop = tuple(drop_prefixes)
+    return {k: v for k, v in state_dict.items() if not k.startswith(drop)}

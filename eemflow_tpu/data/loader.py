@@ -1,0 +1,74 @@
+"""Batch collation + background-thread prefetch (the DataLoader analog).
+
+The reference feeds the GPU from torch DataLoader worker processes that run
+the voxelizer scatter on CPU per sample (SURVEY.md §3.1 — a major input
+bottleneck).  Here the host pipeline is a thin thread-prefetched collator;
+the heavy op (voxelization) can run on device instead
+(``events.events_to_voxel_grid`` is vmappable over padded event buffers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    """Stack a list of sample dicts into batched arrays (numeric keys only)."""
+    out = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        elif isinstance(v0, (int, float, np.integer, np.floating)):
+            out[k] = np.asarray([s[k] for s in samples])
+        else:
+            out[k] = [s[k] for s in samples]  # e.g. names
+    return out
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(dataset))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            yield collate([dataset[int(j)] for j in idx])
+        epoch += 1
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run the iterator in a background thread with a bounded queue so host
+    data prep overlaps device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

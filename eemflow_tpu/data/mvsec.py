@@ -1,0 +1,190 @@
+"""MVSEC dataset (346×260 event flow, reference ``loader/MVSEC.py``).
+
+Per-frame event tables (pandas-HDF5, produced by the offline encoder) + GT
+flow ``.npy`` synthesized by time propagation.  Protocols:
+
+  * dt1 — events between consecutive frames (``MvsecEventFlow``),
+  * dt4 — events concatenated over 4 frame intervals
+    (``MvsecEventFlow_dt4``, reference ``MVSEC.py:197-285``),
+  * dense/sparse evaluation (``eval_type``) — sparse additionally masks to
+    pixels with ≥1 event (mask = 2D histogram of event coords,
+    ``MVSEC.py:132-142``),
+  * val center-crops everything to 256×256 (``MVSEC.py:189-193``).
+
+Valid frame ranges per sequence are the reference's hard-coded table
+(``MVSEC.py:24-31``).  File naming: flow ``{i}.npy``, events
+``{i+1:06d}.h5`` (``MVSEC.py:86-90``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from eemflow_tpu.data.augment import DenseSparseAugmentor, FlowAugmentor
+from eemflow_tpu.events.io import read_events_h5
+from eemflow_tpu.events.sequence import EventSequence
+from eemflow_tpu.events.voxel import events_to_voxel_grid_np
+
+VALID_TIME_INDEX = {
+    "indoor_flying1": [(314, 2199)],
+    "indoor_flying2": [(314, 2199)],
+    "indoor_flying3": [(314, 2199)],
+    "indoor_flying4": [(196, 570)],
+    "outdoor_day1": [(245, 3000)],
+    "outdoor_day2": [(4375, 7002)],
+}
+
+
+def center_crop(arr: np.ndarray, size: int = 256) -> np.ndarray:
+    """torchvision CenterCrop semantics on [H, W, ...]."""
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top : top + size, left : left + size]
+
+
+class MvsecEventFlow:
+    image_width = 346
+    image_height = 260
+    dt_intervals = 1
+
+    def __init__(
+        self,
+        root: str,
+        sequence: str,
+        train: bool = True,
+        num_bins: int = 5,
+        eval_type: str = "dense",
+        aug_params: Optional[dict] = None,
+        flowgt_dirname: str = "flowgt_dt1",
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.root = root
+        self.type = "train" if train else "val"
+        self.num_bins = num_bins
+        self.evaluation_type = eval_type
+        self.flowgt_dirname = flowgt_dirname
+        if aug_params is not None:
+            self.augmentor = FlowAugmentor(**aug_params, rng=rng)
+            self.dense_augmentor = DenseSparseAugmentor(**aug_params, rng=rng)
+        else:
+            self.augmentor = None
+            self.dense_augmentor = None
+        self.change_test_sequence(sequence)
+
+    def change_test_sequence(self, sequence: str) -> None:
+        self.names = []
+        for s in VALID_TIME_INDEX[sequence]:
+            self.names.extend(range(s[0], s[1]))
+        self.sequence = sequence
+        seq_dir = os.path.join(self.root, sequence)
+        self.flowgt_path = os.path.join(seq_dir, self.flowgt_dirname)
+        self.event_path = os.path.join(seq_dir, "event")
+        self.flow_list = [
+            os.path.join(self.flowgt_path, f"{i}.npy") for i in self.names
+        ]
+        self.event_list = [
+            os.path.join(self.event_path, f"{i + 1:06d}.h5") for i in self.names
+        ]
+        # trailing event files for the final new-window(s)
+        last = self.names[-1] if self.names else 0
+        extra = 1 if self.dt_intervals == 1 else self.dt_intervals + 1
+        for j in range(extra):
+            self.event_list.append(
+                os.path.join(self.event_path, f"{last + 2 + j:06d}.h5")
+            )
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def _event_sequence(self, paths) -> EventSequence:
+        arrays = [read_events_h5(p) for p in paths]
+        events = np.concatenate(arrays, axis=0) if len(arrays) > 1 else arrays[0]
+        return EventSequence(
+            events,
+            height=self.image_height,
+            width=self.image_width,
+            timestamp_multiplier=1e6,
+            convert_to_relative=True,
+        )
+
+    def _voxelize(self, seq: EventSequence) -> np.ndarray:
+        grid = events_to_voxel_grid_np(
+            seq.features, self.num_bins, self.image_height, self.image_width
+        )
+        return grid.transpose(1, 2, 0)
+
+    def _event_mask(self, seq: EventSequence) -> np.ndarray:
+        ev = seq.features
+        hist, _, _ = np.histogram2d(
+            x=ev[:, 1],
+            y=ev[:, 2],
+            bins=(self.image_width, self.image_height),
+            range=[[0, self.image_width], [0, self.image_height]],
+        )
+        return (hist.T > 0)[..., None].astype(np.float32)  # [H, W, 1]
+
+    def get_sample(self, idx: int) -> Dict[str, np.ndarray]:
+        flow = np.load(self.flow_list[idx])
+        if flow.shape[0] == 2 and flow.ndim == 3:
+            flow = flow.transpose(1, 2, 0)
+        flow = flow.astype(np.float32)
+
+        k = self.dt_intervals
+        old_paths = self.event_list[idx : idx + k]
+        new_paths = [
+            self.event_list[(idx + k + j) % len(self.event_list)] for j in range(k)
+        ] if k > 1 else [self.event_list[(idx + 1) % len(self.event_list)]]
+
+        seq_old = self._event_sequence(old_paths)
+        seq_new = self._event_sequence(new_paths)
+
+        sample = {
+            "idx": self.names[idx],
+            "flow": flow,
+            "event_volume_old": self._voxelize(seq_old),
+            "event_volume_new": self._voxelize(seq_new),
+        }
+        if self.type == "val":
+            sample["event_valid"] = self._event_mask(seq_old)
+        return sample
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        sample = self.get_sample(idx % len(self))
+        if self.type == "train":
+            ev1, ev2, flow = (
+                sample["event_volume_old"],
+                sample["event_volume_new"],
+                sample["flow"],
+            )
+            if self.augmentor is not None:
+                ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
+            valid = np.isfinite(flow).all(-1) & (np.linalg.norm(flow, axis=-1) > 0)
+            sample["event_volume_old"] = ev1
+            sample["event_volume_new"] = ev2
+            sample["flow"] = flow
+            sample["valid"] = valid.astype(np.float32)
+        else:
+            sample["flow"] = center_crop(sample["flow"])
+            sample["valid"] = (
+                (np.abs(sample["flow"][..., 0]) < 1000)
+                & (np.abs(sample["flow"][..., 1]) < 1000)
+            ).astype(np.float32)
+            sample["event_volume_old"] = center_crop(sample["event_volume_old"])
+            sample["event_volume_new"] = center_crop(sample["event_volume_new"])
+            sample["event_valid"] = center_crop(sample["event_valid"])
+        return sample
+
+
+class MvsecEventFlow_dt4(MvsecEventFlow):
+    """dt4 protocol: 4 frame-intervals of events per window
+    (reference ``MVSEC.py:197-285``)."""
+
+    dt_intervals = 4
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("flowgt_dirname", "flowgt_dt4")
+        super().__init__(*args, **kwargs)

@@ -1,0 +1,128 @@
+"""Evaluation engine (reference ``test_mvsec.py`` class ``Test`` +
+``test_multi_sequence:538-671``).
+
+Per-sequence loop over a dataset with ``change_test_sequence``; one
+jit-compiled forward serves every sample (static shapes); per-sample EPE
+accumulates host-side; results: per-sequence AEE + mean of sequence means
+(``test_mvsec.py:659-671``), optional per-sample CSV
+(``save_excel``, ``test_mvsec.py:410-432``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eemflow_tpu.eval.metrics import flow_error
+
+
+class Tester:
+    def __init__(
+        self,
+        model,
+        variables,
+        logger=None,
+        save_path: Optional[str] = None,
+        save_csv: bool = False,
+        is_car: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.logger = logger
+        self.save_path = save_path
+        self.save_csv = save_csv
+        self.is_car = is_car
+        self._fwd = jax.jit(
+            lambda v, e1, e2: self.model.apply(v, e1, e2)[1][-1]
+        )
+
+    def _log(self, line: str) -> None:
+        if self.logger is not None:
+            self.logger.write_line(line, verbose=True)
+        else:
+            print(line, flush=True)
+
+    def run_network(self, ev1: np.ndarray, ev2: np.ndarray) -> np.ndarray:
+        """ev1/ev2: [H, W, C] single sample → flow [H, W, 2]."""
+        out = self._fwd(
+            self.variables, jnp.asarray(ev1)[None], jnp.asarray(ev2)[None]
+        )
+        return np.asarray(out[0])
+
+    def test_sequence(
+        self, dataset, stride: int = 1, max_samples: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Evaluate the dataset's current sequence; returns aggregates."""
+        AEE_sum = 0.0
+        pct1_sum = 0.0
+        pct3_sum = 0.0
+        iters = 0
+        rows = []
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_network(
+                sample["event_volume_old"], sample["event_volume_new"]
+            )
+            ev_img = np.asarray(sample.get("event_valid"))
+            ev_img = np.squeeze(ev_img) if ev_img is not None else None
+            aee, p1, p3, n, _, _, _ = flow_error(
+                np.asarray(sample["flow"]),
+                flow_est,
+                event_img=ev_img,
+                is_car=self.is_car,
+                evaluation_type=getattr(dataset, "evaluation_type", "dense"),
+            )
+            AEE_sum += aee
+            pct1_sum += p1
+            pct3_sum += p3
+            iters += 1
+            rows.append([iters, aee])
+            if max_samples is not None and iters >= max_samples:
+                break
+        if self.save_csv and self.save_path is not None:
+            os.makedirs(self.save_path, exist_ok=True)
+            with open(
+                os.path.join(self.save_path, "test_epe_per_sample.csv"), "w", newline=""
+            ) as f:
+                w = csv.writer(f)
+                w.writerow(["index", "epe"])
+                w.writerows(rows)
+        n = max(iters, 1)
+        return {
+            "AEE": AEE_sum / n,
+            "pct1_outlier": 1.0 - pct1_sum / n,
+            "pct3_outlier": 1.0 - pct3_sum / n,
+            "n_samples": iters,
+        }
+
+    def test_multi_sequence(
+        self,
+        dataset,
+        sequence_list: Sequence[str],
+        stride: int = 1,
+        max_samples: Optional[int] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Per-sequence eval + mean of per-sequence AEE (the HREM protocol)."""
+        results: Dict[str, Dict[str, float]] = {}
+        for seq in sequence_list:
+            dataset.change_test_sequence(seq)
+            t0 = time.time()
+            res = self.test_sequence(dataset, stride=stride, max_samples=max_samples)
+            self._log(
+                f"[{seq}] AEE {res['AEE']:.6f}  1px-out {res['pct1_outlier']:.6f}  "
+                f"3px-out {res['pct3_outlier']:.6f}  ({res['n_samples']} samples, "
+                f"{time.time() - t0:.1f}s)"
+            )
+            results[seq] = res
+        mean_aee = float(np.mean([r["AEE"] for r in results.values()]))
+        self._log(f"mean AEE over sequences: {mean_aee:.6f}")
+        results["mean"] = {"AEE": mean_aee}
+        return results

@@ -1,0 +1,136 @@
+"""EEMFlow+ ("EEMFlow_cdc") — coarse-to-fine variant with self-guided
+content-aware flow upsampling (reference ``model/EEMFlow/EEMFlow+.py:74-234``
++ ``model/EEMFlow/cdc_utils.py``).
+
+Six-level pyramid (3 stride-2 convs + 3 average pools); at each level from
+coarse to fine: upsample the previous flow with the UPFlow-style SGU
+(``cdc_model``: warp guide features, predict inter-flow + blend mask,
+refine the bilinear-upsampled flow via backwarp blending), warp the
+second-view features (align_corners=True), 53-channel sparsified local
+correlation, grouped-conv decoder residual.  Returns 5 predictions
+(coarse→fine), each upsampled to input size with magnitude rescaling.
+
+Dead reference params (deconv up3-6, conv_1x1[0:2], the SGU's
+``upsample_output_conv``) are never called in the forward and are not
+created here; the checkpoint converter drops them (``EEMFLOW_PLUS_DROP``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from eemflow_tpu.models.eemflow import INDEX_53, Decoder, Pyramid
+from eemflow_tpu.models.layers import ConvRelu, conv2d
+from eemflow_tpu.ops.correlation import local_correlation
+from eemflow_tpu.ops.pad import InputPadder
+from eemflow_tpu.ops.pooling import avg_pool2d
+from eemflow_tpu.ops.upsample import upsample2d_flow_as
+from eemflow_tpu.ops.warp import backwarp, backwarp_masked, warp_align_corners
+
+# torch checkpoint keys with no live forward path (see module docstring)
+EEMFLOW_PLUS_DROP = ("up3", "up4", "up5", "up6", "conv_1x1.0", "conv_1x1.1",
+                     "cdc_model.upsample_output_conv")
+
+
+class FlowEstimatorDense(nn.Module):
+    """Densely-connected 5-conv estimator + linear head
+    (reference ``cdc_utils.py:109-145``)."""
+
+    f_channels: Sequence[int] = (32, 32, 32, 16, 8)
+    ch_out: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.f_channels):
+            y = ConvRelu(f, name=f"conv{i + 1}")(x)
+            x = jnp.concatenate([y, x], axis=-1)
+        out = conv2d(self.ch_out, 3, 1, name="conv_last_0")(x)
+        return x, out
+
+
+class CDCModel(nn.Module):
+    """Self-guided upsampling module (reference ``cdc_utils.py:105-174``)."""
+
+    @nn.compact
+    def __call__(self, flow_init, feature_1, feature_2):
+        fh, fw = feature_1.shape[1:3]
+        if flow_init.shape[1] != fh or flow_init.shape[2] != fw:
+            flow_init = upsample2d_flow_as(flow_init, (fh, fw), if_rate=True)
+        feature_2_warp = backwarp_masked(feature_2, flow_init)
+        feat = jnp.concatenate([feature_1, feature_2_warp], axis=-1)
+        _, x_out = FlowEstimatorDense(name="dense_estimator_mask")(feat)
+        inter_flow = x_out[..., :2]
+        inter_mask = nn.sigmoid(x_out[..., 2:3])
+        flow_up = backwarp(flow_init, inter_flow) * (1 - inter_mask) + (
+            flow_init * inter_mask
+        )
+        return flow_up
+
+
+class EEMFlowPlus(nn.Module):
+    """__call__(ev1, ev2 [B,H,W,bins]) → ((ev1, ev2), [flow6..flow2 upsampled])."""
+
+    groups: int = 3
+    n_first_channels: int = 15
+    corr_indices: Sequence[int] = INDEX_53
+    max_displacement: int = 4
+    pad_rate: int = 64
+
+    @nn.compact
+    def __call__(self, events1, events2, train: bool = False):
+        B, H, W, _ = events1.shape
+        padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
+        im1, im2 = padder.pad(events1, events2)
+
+        pyramid = Pyramid(name="pyramid")
+        f11, f12, f13 = pyramid(im1)
+        f21, f22, f23 = pyramid(im2)
+        f14, f24 = avg_pool2d(f13, 2), avg_pool2d(f23, 2)
+        f15, f25 = avg_pool2d(f14, 2), avg_pool2d(f24, 2)
+        f16, f26 = avg_pool2d(f15, 2), avg_pool2d(f25, 2)
+
+        idx = tuple(self.corr_indices)
+        md = self.max_displacement
+        cdc = CDCModel(name="cdc_model")
+
+        # conv + LeakyReLU(0.1): the reference builds these with cdc_utils.conv
+        # whose isReLU defaults to True (cdc_utils.py:9-30)
+        conv1x1 = {
+            l: ConvRelu(32, kernel_size=1, padding=0, name=f"conv_1x1_{l}")
+            for l in (2, 3, 4, 5)
+        }
+
+        # level 6 (coarsest)
+        flow7_up = jnp.zeros(f16.shape[:3] + (2,), f16.dtype)
+        cv6 = local_correlation(f16, f26, md, indices=idx)
+        r16 = ConvRelu(32, name="rconv6")(f16)
+        flow6 = Decoder(self.groups, mid=96, name="decoder6")(
+            jnp.concatenate([cv6, r16, flow7_up], axis=-1)
+        )
+
+        def level(l, f1, f2, flow_coarse, rconv_name, dec_name):
+            f1_1x1 = conv1x1[l](f1)
+            f2_1x1 = conv1x1[l](f2)
+            flow_up = cdc(flow_coarse, f1_1x1, f2_1x1)
+            f2_w = warp_align_corners(f2, flow_up)
+            cv = local_correlation(f1, f2_w, md, indices=idx)
+            r = ConvRelu(32, name=rconv_name)(f1)
+            flow = Decoder(self.groups, mid=96, name=dec_name)(
+                jnp.concatenate([cv, r, flow_up], axis=-1)
+            )
+            return flow + flow_up
+
+        flow5 = level(5, f15, f25, flow6, "rconv5", "decoder5")
+        flow4 = level(4, f14, f24, flow5, "rconv4", "decoder4")
+        flow3 = level(3, f13, f23, flow4, "rconv3", "decoder3")
+        flow2 = level(2, f12, f22, flow3, "rconv2", "decoder2")
+
+        preds = [
+            upsample2d_flow_as(f, (H, W), if_rate=True)
+            for f in (flow6, flow5, flow4, flow3, flow2)
+        ]
+        return (events1, events2), preds

@@ -50,3 +50,9 @@ def _populate() -> None:
         MODEL_REGISTRY["eemflow_plus"] = EEMFlowPlus
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.gma import RAFTGMA
+
+        MODEL_REGISTRY["gma"] = RAFTGMA
+    except ImportError:
+        pass

@@ -23,9 +23,11 @@ def avg_pool2d(x: jax.Array, kernel_size, stride=None) -> jax.Array:
         stride = (stride, stride)
     kh, kw = kernel_size
     sh, sw = stride
+    # NOTE: the init value must be a Python literal — a traced scalar breaks
+    # reverse-mode AD linearization under jit (JAX 0.9).
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),

@@ -1,0 +1,63 @@
+"""Device mesh + sharding layout.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(``train_EEMFlow_HREM.py:117``).  The TPU-native replacement: a
+``jax.sharding.Mesh`` with axes
+
+  * ``data``    — batch-sharded data parallelism (gradient psum inserted by
+    XLA under jit; rides ICI within a slice, DCN across slices),
+  * ``spatial`` — optional sharding of the image H axis for 1280×720
+    activations; XLA SPMD inserts halo exchanges for convolutions
+    automatically.
+
+Parameters are replicated (the models are small — ≤10 M params — so
+replication beats sharded gather traffic).  No explicit comm backend
+exists or is needed: collectives are compiler-inserted (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    assert n_data * n_spatial <= len(devices), (
+        f"mesh {n_data}x{n_spatial} needs more than {len(devices)} devices"
+    )
+    dev_array = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(dev_array, axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None) -> NamedSharding:
+    """[B, H, W, C] arrays: batch over 'data', optionally H over 'spatial'."""
+    if spatial_axis is None:
+        return NamedSharding(mesh, P("data"))
+    spec = [None, None, None, None]
+    spec[0] = "data"
+    spec[spatial_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a pytree of [B, ...] arrays with batch-axis sharding."""
+    sh = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)

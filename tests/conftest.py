@@ -4,7 +4,9 @@ had — SURVEY.md §4).  Must run before any jax import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the environment presets JAX_PLATFORMS=axon (the
+# tunneled TPU) and tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402  (env must be set first)
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this image — the
+# config API is honored, so force the CPU backend here as well.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity mode: JAX's default matmul precision downcasts fp32 (~1e-2 error);
 # golden tests compare against full-fp32 torch.  (The JAX_* env var spelling

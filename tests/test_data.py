@@ -1,0 +1,179 @@
+"""Data-layer golden tests: meshflow propagation, GT-flow advection,
+augmentors, datasets on synthetic files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eemflow_tpu.data.augment import DenseSparseAugmentor, FlowAugmentor
+from eemflow_tpu.data.gt_flow import estimate_corresponding_gt_flow
+from eemflow_tpu.data.loader import batch_iterator, collate, prefetch
+from eemflow_tpu.data.meshflow import motion_propagate
+
+RNG = np.random.default_rng(0)
+
+
+def meshflow_loop_oracle(flow, mesh_size=16, radius=3):
+    """Literal loop transcription of the reference semantics (HREM.py:41-101)."""
+    from scipy.signal import medfilt2d
+
+    height, width = flow.shape[:2]
+    u, v = flow[..., 0], flow[..., 1]
+    mesh_cols, mesh_rows = width // mesh_size, height // mesh_size
+
+    def clamp(pi, pj):
+        pi = min(max(pi, 0), height - 1)
+        pj = min(max(pj, 0), width - 1)
+        return pi, pj
+
+    xm = np.zeros((mesh_size, mesh_size))
+    ym = np.zeros((mesh_size, mesh_size))
+    for i in range(mesh_size):
+        for j in range(mesh_size):
+            xs, ys = [], []
+            for r in range(radius):
+                ox, oy = r * mesh_rows // 2, r * mesh_cols // 2
+                for sx, sy in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+                    pi, pj = clamp(mesh_rows * i + sx * ox, mesh_cols * j + sy * oy)
+                    xs.append(u[pi, pj])
+                    ys.append(v[pi, pj])
+            xs.sort()
+            ys.sort()
+            xm[i, j] = xs[len(xs) // 2]
+            ym[i, j] = ys[len(ys) // 2]
+
+    pad = 2
+    xm_ = np.pad(xm, pad, mode="edge")
+    ym_ = np.pad(ym, pad, mode="edge")
+    xm_ = medfilt2d(xm_, [5, 5])
+    ym_ = medfilt2d(ym_, [5, 5])
+    return (
+        xm_[pad : pad + mesh_size, pad : pad + mesh_size],
+        ym_[pad : pad + mesh_size, pad : pad + mesh_size],
+    )
+
+
+def test_motion_propagate_matches_loop_oracle():
+    flow = RNG.standard_normal((720, 1280, 2)).astype(np.float64) * 5
+    got_x, got_y = motion_propagate(flow)
+    ref_x, ref_y = meshflow_loop_oracle(flow)
+    np.testing.assert_allclose(got_x, ref_x, atol=1e-12)
+    np.testing.assert_allclose(got_y, ref_y, atol=1e-12)
+
+
+def test_gt_flow_constant_field():
+    """Constant 1px/interval flow over 4 intervals → ~total displacement."""
+    H, W = 20, 30
+    T = 6
+    x_flows = np.ones((T, H, W))
+    y_flows = np.zeros((T, H, W))
+    ts = np.arange(T, dtype=np.float64)
+    xs, ys = estimate_corresponding_gt_flow(x_flows, y_flows, ts, 0.0, 4.0)
+    # interior pixels accumulate 4 × 1px of x shift
+    np.testing.assert_allclose(xs[5:-5, 5:-5], 4.0, atol=1e-6)
+    np.testing.assert_allclose(ys[5:-5, 5:-5], 0.0, atol=1e-6)
+    # sub-interval query returns scaled single flow
+    xs2, _ = estimate_corresponding_gt_flow(x_flows, y_flows, ts, 0.0, 0.5)
+    np.testing.assert_allclose(xs2, 0.5, atol=1e-9)
+
+
+def test_flow_augmentor_no_resize_flip_consistency():
+    rng = np.random.default_rng(3)
+    aug = FlowAugmentor((8, 8), do_flip=True, h_flip_prob=1.0, v_flip_prob=0.0, rng=rng)
+    img = RNG.standard_normal((16, 16, 5)).astype(np.float32)
+    flow = RNG.standard_normal((4, 4, 2)).astype(np.float32)
+    i1, i2, f = aug(img, img.copy(), flow, without_resize=True)
+    np.testing.assert_array_equal(i1, img[:, ::-1])
+    np.testing.assert_allclose(f[..., 0], -flow[:, ::-1, 0])
+    np.testing.assert_allclose(f[..., 1], flow[:, ::-1, 1])
+
+
+def test_flow_augmentor_resize_crop_shapes():
+    rng = np.random.default_rng(4)
+    aug = FlowAugmentor((32, 48), min_scale=-0.2, max_scale=0.5, do_flip=True, rng=rng)
+    img = RNG.standard_normal((64, 96, 5)).astype(np.float32)
+    flow = RNG.standard_normal((64, 96, 2)).astype(np.float32)
+    for _ in range(5):
+        i1, i2, f = aug(img, img, flow)
+        assert i1.shape == (32, 48, 5) and f.shape == (32, 48, 2)
+
+
+def test_dense_sparse_augmentor_shapes():
+    rng = np.random.default_rng(5)
+    aug = DenseSparseAugmentor((32, 48), do_flip=True, rng=rng)
+    img = RNG.standard_normal((64, 96, 5)).astype(np.float32)
+    flow = RNG.standard_normal((64, 96, 2)).astype(np.float32)
+    outs = aug(img, img, img, img, flow)
+    assert len(outs) == 5
+    assert outs[0].shape == (32, 48, 5) and outs[-1].shape == (32, 48, 2)
+
+
+def test_collate_and_prefetch():
+    samples = [
+        {"a": np.ones((2, 3)), "idx": i, "names": f"s{i}"} for i in range(4)
+    ]
+    batch = collate(samples)
+    assert batch["a"].shape == (4, 2, 3)
+    assert list(batch["idx"]) == [0, 1, 2, 3]
+    assert batch["names"] == ["s0", "s1", "s2", "s3"]
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"a": np.full((2,), i, np.float32)}
+
+    batches = list(prefetch(batch_iterator(DS(), 4, epochs=1, seed=1)))
+    assert len(batches) == 2
+    assert batches[0]["a"].shape == (4, 2)
+
+
+def _write_hrem_sample(d, h=64, w=96, n_events=500):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(hash(d) % 2**31)
+    for name in ("events1.npz", "events2.npz"):
+        np.savez(
+            os.path.join(d, name),
+            x=rng.integers(0, w, n_events).astype(np.int32),
+            y=rng.integers(0, h, n_events).astype(np.int32),
+            t=np.sort(rng.integers(0, 10**9, n_events)).astype(np.int64),
+            p=rng.integers(0, 2, n_events).astype(np.int8),
+        )
+    flow = rng.standard_normal((h, w, 2)).astype(np.float32)
+    from eemflow_tpu.events.io import write_flo
+
+    write_flo(flow, os.path.join(d, "flow.flo"))
+
+
+def test_hrem_dataset_synthetic(tmp_path):
+    from eemflow_tpu.data.hrem import HREMEventFlow
+
+    root = str(tmp_path)
+    for i in range(3):
+        _write_hrem_sample(os.path.join(root, "train", "dt1", f"{i:05d}"))
+    for seq in ("indoor_fast", "outdoor_slow"):
+        _write_hrem_sample(os.path.join(root, "test", "dt1", seq, "00000"))
+
+    class SmallHREM(HREMEventFlow):
+        image_width = 96
+        image_height = 64
+
+    ds = SmallHREM(root, dt="dt1", train=True, aug_params={"crop_size": [64, 96], "do_flip": True})
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["event_volume_old"].shape == (64, 96, 5)
+    assert s["flow"].shape == (16, 16, 2)
+    assert s["valid"].shape == (16, 16)
+
+    ds_test = SmallHREM(root, dt="dt1", train=False)
+    ds_test.change_test_sequence("indoor_fast")
+    s = ds_test[0]
+    assert s["flow"].shape == (64, 96, 2)
+    assert s["valid"].shape == (64, 96)
+    assert s["event_valid"].shape == (64, 96, 1)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

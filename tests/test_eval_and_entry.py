@@ -1,0 +1,103 @@
+"""Eval metrics/runner tests + multichip dryrun on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from eemflow_tpu.eval.metrics import flow_error
+
+
+def test_flow_error_dense_and_sparse():
+    H, W = 12, 10
+    gt = np.zeros((H, W, 2), np.float32)
+    gt[..., 0] = 2.0  # nonzero everywhere → all pixels valid
+    pred = gt.copy()
+    pred[0, 0, 0] = 5.0  # one 3px error
+    aee, p1, p3, n, ee_sum, aee_gt, _ = flow_error(gt, pred)
+    assert n == H * W
+    np.testing.assert_allclose(aee, 3.0 / (H * W), rtol=1e-5)
+    np.testing.assert_allclose(p1, (H * W - 1) / (H * W + 1e-5), rtol=1e-5)
+    np.testing.assert_allclose(aee_gt, 2.0, rtol=1e-5)
+
+    # sparse: only one event pixel, which has the error
+    ev = np.zeros((H, W), np.float32)
+    ev[0, 0] = 3
+    aee_s, p1_s, p3_s, n_s, *_ = flow_error(gt, pred, event_img=ev, evaluation_type="sparse")
+    assert n_s == 1
+    np.testing.assert_allclose(aee_s, 3.0, rtol=1e-5)
+    assert p1_s < 1e-4
+    # KITTI 3px: EE=3 is not < 3, and 0.1*||gt||=0.2 → outlier
+    assert p3_s < 1e-4
+
+    # is_car: crop rows >= 190 — here max_row=190 > H so unchanged
+    aee_c, *_ = flow_error(gt, pred, is_car=True)
+    np.testing.assert_allclose(aee_c, aee, rtol=1e-6)
+
+
+def test_flow_error_invalid_gt_masked():
+    gt = np.zeros((8, 8, 2), np.float32)  # all-zero GT → no valid pixels
+    pred = np.ones_like(gt)
+    aee, p1, p3, n, *_ = flow_error(gt, pred)
+    assert n == 0 and aee == 0.0
+
+
+def test_tester_on_stub_dataset():
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    class ZeroModel(nn.Module):
+        @nn.compact
+        def __call__(self, e1, e2, train=False):
+            s = self.param("s", nn.initializers.zeros, (1,))
+            return (e1, e2), [jnp.zeros(e1.shape[:3] + (2,)) + s]
+
+    class StubDS:
+        evaluation_type = "dense"
+
+        def __init__(self):
+            self.seqs = {"a": 3, "b": 2}
+            self.n = 3
+
+        def change_test_sequence(self, s):
+            self.n = self.seqs[s]
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            gt = np.full((16, 16, 2), 2.0, np.float32)
+            return {
+                "event_volume_old": np.zeros((16, 16, 5), np.float32),
+                "event_volume_new": np.zeros((16, 16, 5), np.float32),
+                "flow": gt,
+                "event_valid": np.ones((16, 16, 1), np.float32),
+            }
+
+    from eemflow_tpu.eval.runner import Tester
+
+    model = ZeroModel()
+    import jax
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 5)),
+        jnp.zeros((1, 16, 16, 5)),
+    )
+    t = Tester(model, variables)
+    res = t.test_multi_sequence(StubDS(), ["a", "b"])
+    # zero prediction vs constant-2 flow → AEE = ||(2,2)|| = 2√2
+    np.testing.assert_allclose(res["a"]["AEE"], 2 * np.sqrt(2), rtol=1e-5)
+    np.testing.assert_allclose(res["mean"]["AEE"], 2 * np.sqrt(2), rtol=1e-5)
+    assert res["a"]["n_samples"] == 3 and res["b"]["n_samples"] == 2
+
+
+def test_dryrun_multichip_8():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

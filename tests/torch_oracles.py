@@ -337,3 +337,282 @@ class OracleERAFT(nn.Module):
             ht, wd = flow_up.shape[-2:]
             preds.append(flow_up[..., t : ht - b, l : wd - rr])
         return preds
+
+
+# -------------------------------------------------------------- EEMFlow+ ----
+
+class OracleCDC(nn.Module):
+    """SGU module (reference cdc_utils.py semantics)."""
+
+    def __init__(self):
+        super().__init__()
+
+        def c(cin, cout, relu=True):
+            mods = [nn.Conv2d(cin, cout, 3, 1, 1)]
+            if relu:
+                mods.append(nn.LeakyReLU(0.1))
+            return nn.Sequential(*mods)
+
+        class Dense(nn.Module):
+            def __init__(self):
+                super().__init__()
+                chans = (32, 32, 32, 16, 8)
+                N = 64
+                for i, f in enumerate(chans):
+                    setattr(self, f"conv{i+1}", c(N, f))
+                    N += f
+                self.conv_last = c(N, 3, relu=False)
+
+            def forward(self, x):
+                for i in range(5):
+                    x = torch.cat([getattr(self, f"conv{i+1}")(x), x], 1)
+                return self.conv_last(x)
+
+        self.dense_estimator_mask = Dense()
+
+    @staticmethod
+    def up_flow_as(flow, hw, if_rate=True):
+        h, w = hw
+        _, _, h_, w_ = flow.shape
+        res = F.interpolate(flow, (h, w), mode="bilinear", align_corners=True)
+        if if_rate:
+            res = res * torch.tensor([w / w_, h / h_]).view(1, 2, 1, 1)
+        return res
+
+    @staticmethod
+    def warp_no_div(x, flow):
+        B, C, H, W = x.shape
+        ys, xs = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+        grid = torch.stack([xs, ys], 0).float().unsqueeze(0).repeat(B, 1, 1, 1)
+        vgrid = grid + flow
+        vgrid = torch.stack(
+            [
+                2 * vgrid[:, 0] / max(W - 1, 1) - 1,
+                2 * vgrid[:, 1] / max(H - 1, 1) - 1,
+            ],
+            dim=-1,
+        )
+        out = F.grid_sample(x, vgrid, padding_mode="zeros", align_corners=False)
+        mask = F.grid_sample(torch.ones_like(x), vgrid, align_corners=False)
+        return out * (mask >= 1.0).float()
+
+    @staticmethod
+    def torch_warp(x, flow):
+        B, C, H, W = x.shape
+        ys, xs = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+        grid = torch.stack([xs, ys], 0).float().unsqueeze(0).repeat(B, 1, 1, 1)
+        vgrid = grid + flow
+        vgrid = torch.stack(
+            [
+                2 * vgrid[:, 0] / max(W - 1, 1) - 1,
+                2 * vgrid[:, 1] / max(H - 1, 1) - 1,
+            ],
+            dim=-1,
+        )
+        return F.grid_sample(x, vgrid, padding_mode="zeros", align_corners=False)
+
+    def forward(self, flow_init, f1, f2):
+        if flow_init.shape[-2:] != f1.shape[-2:]:
+            flow_init = self.up_flow_as(flow_init, f1.shape[-2:])
+        f2w = self.warp_no_div(f2, flow_init)
+        x_out = self.dense_estimator_mask(torch.cat([f1, f2w], 1))
+        inter_flow = x_out[:, :2]
+        inter_mask = torch.sigmoid(x_out[:, 2:3])
+        return self.torch_warp(flow_init, inter_flow) * (1 - inter_mask) + flow_init * inter_mask
+
+
+class OracleEEMFlowPlus(nn.Module):
+    def __init__(self, groups=3, n_first_channels=15):
+        super().__init__()
+        from eemflow_tpu.models.eemflow import INDEX_53
+
+        self.pconv1_1 = convrelu(n_first_channels, 16, s=2)
+        self.pconv1_2 = convrelu(16, 16)
+        self.pconv2_1 = convrelu(16, 32, s=2)
+        self.pconv2_2 = convrelu(32, 32)
+        self.pconv2_3 = convrelu(32, 32)
+        self.pconv3_1 = convrelu(32, 64, s=2)
+        self.pconv3_2 = convrelu(64, 64)
+        self.pconv3_3 = convrelu(64, 64)
+        self.register_buffer("index", torch.tensor(list(INDEX_53)))
+        self.conv_1x1 = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(cin, 32, 1), nn.LeakyReLU(0.1))
+             for cin in (n_first_channels, 16, 32, 64, 64, 64)]
+        )
+        self.up3 = nn.ConvTranspose2d(2, 2, 4, 2, 1)  # dead params, converter-drop path
+        self.up4 = nn.ConvTranspose2d(2, 2, 4, 2, 1)
+        for l in (2, 3, 4, 5, 6):
+            setattr(self, f"rconv{l}", convrelu(32 if l == 2 else 64, 32))
+            setattr(self, f"decoder{l}", OracleDecoder(87, groups, mid=96))
+        self.cdc_model = OracleCDC()
+
+    @staticmethod
+    def warp_ac(x, flow):
+        B, C, H, W = x.shape
+        ys, xs = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+        grid = torch.stack([xs, ys], 0).float().unsqueeze(0).repeat(B, 1, 1, 1)
+        vgrid = grid + flow
+        vgrid = torch.stack(
+            [
+                2 * vgrid[:, 0] / max(W - 1, 1) - 1,
+                2 * vgrid[:, 1] / max(H - 1, 1) - 1,
+            ],
+            dim=-1,
+        )
+        return F.grid_sample(x, vgrid, mode="bilinear", align_corners=True)
+
+    def pyramid(self, x):
+        f1 = self.pconv1_2(self.pconv1_1(x))
+        f2 = self.pconv2_3(self.pconv2_2(self.pconv2_1(f1)))
+        f3 = self.pconv3_3(self.pconv3_2(self.pconv3_1(f2)))
+        return f1, f2, f3
+
+    def forward(self, ev1, ev2, pad_rate=64):
+        H, W = ev1.shape[-2:]
+        r = pad_rate
+        pad_ht = (((H // r) + 1) * r - H) % r
+        pad_wd = (((W // r) + 1) * r - W) % r
+        pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+        im1 = F.pad(ev1, pad, mode="replicate")
+        im2 = F.pad(ev2, pad, mode="replicate")
+        _, f12, f13 = self.pyramid(im1)
+        _, f22, f23 = self.pyramid(im2)
+        f14, f24 = F.avg_pool2d(f13, 2, 2), F.avg_pool2d(f23, 2, 2)
+        f15, f25 = F.avg_pool2d(f14, 2, 2), F.avg_pool2d(f24, 2, 2)
+        f16, f26 = F.avg_pool2d(f15, 2, 2), F.avg_pool2d(f25, 2, 2)
+
+        idx = self.index.long()
+        flow7 = torch.zeros(f16.shape[0], 2, f16.shape[2], f16.shape[3])
+        cv6 = torch.index_select(torch_local_correlation(f16, f26), 1, idx)
+        flow6 = self.decoder6(torch.cat([cv6, self.rconv6(f16), flow7], 1))
+
+        flows = [flow6]
+        cur = flow6
+        for l, (fa, fb) in zip((5, 4, 3, 2), ((f15, f25), (f14, f24), (f13, f23), (f12, f22))):
+            c1x1 = self.conv_1x1[l]
+            flow_up = self.cdc_model(cur, c1x1(fa), c1x1(fb))
+            fbw = self.warp_ac(fb, flow_up)
+            cv = torch.index_select(torch_local_correlation(fa, fbw), 1, idx)
+            r_ = getattr(self, f"rconv{l}")(fa)
+            cur = getattr(self, f"decoder{l}")(torch.cat([cv, r_, flow_up], 1)) + flow_up
+            flows.append(cur)
+
+        out = []
+        for f in flows:
+            _, _, h_, w_ = f.shape
+            res = F.interpolate(f, (H, W), mode="bilinear", align_corners=True)
+            out.append(res * torch.tensor([W / w_, H / h_]).view(1, 2, 1, 1))
+        return out
+
+
+# ------------------------------------------------------------------ GMA ----
+
+class OracleGMAAttention(nn.Module):
+    def __init__(self, dim=128, dim_head=128):
+        super().__init__()
+        self.scale = dim_head ** -0.5
+        self.to_qk = nn.Conv2d(dim, dim_head * 2, 1, bias=False)
+
+    def forward(self, fmap):
+        b, c, h, w = fmap.shape
+        q, k = self.to_qk(fmap).chunk(2, dim=1)
+        q = (q * self.scale).permute(0, 2, 3, 1).reshape(b, h * w, -1)
+        k = k.permute(0, 2, 3, 1).reshape(b, h * w, -1)
+        sim = torch.bmm(q, k.transpose(1, 2))
+        return torch.softmax(sim, dim=-1)
+
+
+class OracleGMAAggregate(nn.Module):
+    def __init__(self, dim=128):
+        super().__init__()
+        self.to_v = nn.Conv2d(dim, dim, 1, bias=False)
+        self.gamma = nn.Parameter(torch.zeros(1))
+
+    def forward(self, attn, fmap):
+        b, c, h, w = fmap.shape
+        v = self.to_v(fmap).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        out = torch.bmm(attn, v).reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return fmap + self.gamma * out
+
+
+class OracleGMAUpdateBlock(nn.Module):
+    def __init__(self, hidden=128):
+        super().__init__()
+        base = OracleUpdateBlock(hidden)
+        self.encoder = base.encoder
+        self.flow_head = base.flow_head
+        self.mask = base.mask
+        # GRU with wider input (inp + motion + motion_global)
+        class Gru(nn.Module):
+            def __init__(self, hd, ind):
+                super().__init__()
+                self.convz1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convr1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convq1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convz2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convr2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convq2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+
+            def forward(self, h, x):
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz1(hx))
+                r = torch.sigmoid(self.convr1(hx))
+                q = torch.tanh(self.convq1(torch.cat([r * h, x], 1)))
+                h = (1 - z) * h + z * q
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz2(hx))
+                r = torch.sigmoid(self.convr2(hx))
+                q = torch.tanh(self.convq2(torch.cat([r * h, x], 1)))
+                return (1 - z) * h + z * q
+
+        self.gru = Gru(hidden, 128 + hidden + hidden)
+        self.aggregator = OracleGMAAggregate(128)
+
+    def forward(self, net, inp, corr, flow, attention):
+        m = self.encoder(flow, corr)
+        mg = self.aggregator(attention, m)
+        net = self.gru(net, torch.cat([inp, m, mg], 1))
+        return net, 0.25 * self.mask(net), self.flow_head(net)
+
+
+class OracleGMA(nn.Module):
+    def __init__(self, n_first_channels=5):
+        super().__init__()
+        self.fnet = OracleBasicEncoder(256, "instance", n_first_channels)
+        self.cnet = OracleBasicEncoder(256, "batch", n_first_channels)
+        self.update_block = OracleGMAUpdateBlock()
+        self.att = OracleGMAAttention()
+
+    def forward(self, ev1, ev2, iters=4, pad_rate=32):
+        H, W = ev1.shape[-2:]
+        r = pad_rate
+        pad_ht = (((H // r) + 1) * r - H) % r
+        pad_wd = (((W // r) + 1) * r - W) % r
+        pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+        im1 = F.pad(ev1, pad, mode="replicate")
+        im2 = F.pad(ev2, pad, mode="replicate")
+
+        f1, f2 = self.fnet(im1), self.fnet(im2)
+        corr_fn = OracleCorrBlock(f1, f2)
+        cnet = self.cnet(im1)
+        net, inp = torch.split(cnet, [128, 128], dim=1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        attention = self.att(inp)
+
+        N, _, Hp, Wp = im1.shape
+        ys, xs = torch.meshgrid(torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij")
+        coords0 = torch.stack([xs, ys], 0).float().unsqueeze(0).repeat(N, 1, 1, 1)
+        coords1 = coords0.clone()
+
+        preds = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta = self.update_block(net, inp, corr, flow, attention)
+            coords1 = coords1 + delta
+            flow_up = OracleERAFT.upsample_flow(coords1 - coords0, up_mask)
+            l, rr, t, b = pad
+            ht, wd = flow_up.shape[-2:]
+            preds.append(flow_up[..., t : ht - b, l : wd - rr])
+        return preds

@@ -1,0 +1,78 @@
+"""HREM evaluation CLI (reference ``test_EEMFlow_HREM.py``).
+
+Loads a checkpoint — either a released PyTorch ``.pth.tar`` (converted on
+the fly via ``compat.torch_loader``) or an orbax run checkpoint — and runs
+the per-sequence HREM protocol ({indoor,outdoor}×{fast,slow}, stride 1,
+mean of per-sequence AEE).
+
+Usage:
+  python tools/test_hrem.py -model eemflow -int dt1 --data_root dataset/HREM \
+      --checkpoint checkpoints/EEMFlow_HREM_dt1.pth.tar
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eemflow_tpu.data.hrem import HREM_SEQUENCES  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Evaluate on HREM")
+    p.add_argument("-model", default="eemflow")
+    p.add_argument("-int", dest="event_interval", default="dt1", choices=["dt1", "dt4"])
+    p.add_argument("--data_root", default="dataset/HREM")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--save_dir", default="runs/hrem_eval")
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--save_csv", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    # parity mode: fp32 matmuls for checkpoint-faithful numerics
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from eemflow_tpu.data.hrem import HREMEventFlow
+    from eemflow_tpu.eval.runner import Tester
+    from eemflow_tpu.models import get_model
+    from eemflow_tpu.utils.logger import Logger
+
+    model = get_model(args.model)
+
+    if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+        from eemflow_tpu.compat.torch_loader import (
+            eemflow_alias,
+            eraft_alias,
+            load_torch_checkpoint,
+            torch_state_dict_to_flax,
+        )
+
+        alias = {"eemflow": eemflow_alias, "eraft": eraft_alias}.get(args.model)
+        sd = load_torch_checkpoint(args.checkpoint)
+        sd = {k: v for k, v in sd.items() if k != "index"}
+        variables = torch_state_dict_to_flax(sd, alias=alias)
+    else:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+
+    dataset = HREMEventFlow(args.data_root, dt=args.event_interval, train=False)
+    save_path = os.path.join(args.save_dir, f"{args.model}_{args.event_interval}")
+    logger = Logger(save_path)
+    tester = Tester(
+        model, variables, logger=logger, save_path=save_path, save_csv=args.save_csv
+    )
+    seqs = [s for s in HREM_SEQUENCES if s in getattr(dataset, "nori_list", {})]
+    tester.test_multi_sequence(dataset, seqs or HREM_SEQUENCES, stride=args.stride)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""HREM training CLI (reference ``train_EEMFlow_HREM.py``).
+
+Builds a registry model, loads a JSON config (argparse overrides), trains
+with the AdamW+OneCycle recipe under batch-sharded data parallelism, and
+checkpoints params+opt_state+step per epoch (orbax — fixing the reference's
+lossy resume).
+
+Usage:
+  python tools/train_hrem.py -model eemflow -int dt1 --data_root dataset/HREM \
+      --config configs/hrem_meshflow.json -bs 6 --lr 1e-5 \
+      --train_iters 6000000 --val_iters 10000 [-se N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train on HREM")
+    p.add_argument("-model", default="eemflow")
+    p.add_argument("-int", dest="event_interval", default="dt1", choices=["dt1", "dt4"])
+    p.add_argument("--config", default="configs/hrem_meshflow.json")
+    p.add_argument("--data_root", default="dataset/HREM")
+    p.add_argument("-bs", "--batch_size", type=int, default=6)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--train_iters", type=int, default=6000000)
+    p.add_argument("--val_iters", type=int, default=10000)
+    p.add_argument("-se", "--start_epoch", type=int, default=None)
+    p.add_argument("--save_dir", default="runs/hrem")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.data.hrem import HREMEventFlow
+    from eemflow_tpu.data.loader import batch_iterator, prefetch
+    from eemflow_tpu.models import get_model
+    from eemflow_tpu.parallel.mesh import make_mesh, shard_batch
+    from eemflow_tpu.train.checkpoint import restore_checkpoint
+    from eemflow_tpu.train.optim import make_optimizer
+    from eemflow_tpu.train.trainer import Trainer, create_train_state
+    from eemflow_tpu.utils.config import load_config, snapshot_config, create_save_path
+    from eemflow_tpu.utils.logger import Logger
+
+    cfg = load_config(args.config) if os.path.exists(args.config) else {}
+    train_cfg = cfg.get("train", {})
+    aug = (
+        cfg.get("data_loader", {})
+        .get("train", {})
+        .get("args", {})
+        .get("aug_params", {"crop_size": [512, 960], "do_flip": True})
+    )
+
+    save_path = create_save_path(args.save_dir, f"{args.model}_{args.event_interval}",
+                                 args.lr, args.wd)
+    logger = Logger(save_path)
+    snapshot_config({**cfg, "cli": vars(args)}, save_path)
+
+    model = get_model(args.model)
+    tx = make_optimizer(
+        lr=args.lr,
+        wdecay=args.wd,
+        epsilon=train_cfg.get("epsilon", 1e-8),
+        num_steps=args.train_iters,
+        clip=train_cfg.get("clip", 1.0),
+    )
+
+    dataset = HREMEventFlow(
+        args.data_root,
+        dt=args.event_interval,
+        train=True,
+        num_bins=cfg.get("data_loader", {}).get("train", {}).get("args", {}).get(
+            "num_voxel_bins", 5
+        ),
+        aug_params=aug,
+        rng=np.random.default_rng(args.seed),
+    )
+    logger.write_line(f"dataset: {len(dataset)} samples", True)
+
+    mesh = make_mesh(n_spatial=1)
+    batches = prefetch(
+        batch_iterator(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    )
+
+    def to_device(b):
+        b = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+        return shard_batch(b, mesh)
+
+    first = to_device(next(iter(batches)))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), first, tx)
+
+    start_epoch = 0
+    ckpt_dir = os.path.join(save_path, "ckpt")
+    if args.start_epoch is not None:
+        state, start_epoch = restore_checkpoint(ckpt_dir, state, args.start_epoch)
+        logger.write_line(f"resumed from epoch {start_epoch}", True)
+
+    trainer = Trainer(model, tx, gamma=train_cfg.get("gamma", 0.8), logger=logger,
+                      checkpoint_dir=ckpt_dir)
+    n_epochs = args.train_iters // args.val_iters
+    for epoch in range(start_epoch, n_epochs):
+        state = trainer.train_iters(
+            state, map(to_device, batches), start_epoch=epoch, val_iters=args.val_iters
+        )
+
+
+if __name__ == "__main__":
+    main()
