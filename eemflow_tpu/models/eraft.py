@@ -87,26 +87,36 @@ class ERAFT(nn.Module):
         update_block = BasicUpdateBlock(
             self.hidden_dim, self.corr_levels, self.corr_radius, name="update_block"
         )
-
-        radius = self.corr_radius
-
-        def body(mdl, carry, _):
-            net, coords1 = carry
-            coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, radius)
-            flow = coords1 - coords0
-            net, up_mask, delta_flow = mdl(net, inp, corr, flow)
-            coords1 = coords1 + delta_flow
-            flow_up = convex_upsample_flow(coords1 - coords0, up_mask)
-            return (net, coords1), flow_up
-
-        scan = nn.scan(
-            body,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=n_iters,
+        flows = raft_refine(
+            update_block, pyramid, net, inp, coords0, coords1, n_iters,
+            self.corr_radius,
         )
-        (_, _), flows = scan(update_block, (net, coords1), None)
         # flows: [iters, B, Hp, Wp, 2] → unpad all iterations at once
         flows = padder.unpad(flows)
         return (events1, events2), flows
+
+
+def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
+                radius):
+    """The shared RAFT refinement loop as one ``nn.scan`` — corr lookup,
+    update block, convex upsample per iteration, weights broadcast.  Returns
+    stacked upsampled predictions [iters, B, 8h, 8w, 2]."""
+
+    def body(mdl, carry, _):
+        net, coords1 = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        corr = lookup_corr_pyramid(pyramid, coords1, radius)
+        flow = coords1 - coords0
+        net, up_mask, delta_flow = mdl(net, inp, corr, flow)
+        coords1 = coords1 + delta_flow
+        flow_up = convex_upsample_flow(coords1 - coords0, up_mask)
+        return (net, coords1), flow_up
+
+    scan = nn.scan(
+        body,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        length=n_iters,
+    )
+    (_, _), flows = scan(update_block, (net, coords1), None)
+    return flows

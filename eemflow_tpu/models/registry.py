@@ -56,3 +56,29 @@ def _populate() -> None:
         MODEL_REGISTRY["gma"] = RAFTGMA
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.unet import MIMOUNet, UNet, UNetL, UNetLittle
+        from eemflow_tpu.models.unite import (
+            DenoiseERAFT,
+            MIMOUNetERAFT,
+            UNetDenseCTX,
+            UNetERAFT,
+        )
+
+        MODEL_REGISTRY["unet"] = UNet
+        MODEL_REGISTRY["unet_l"] = UNetL
+        MODEL_REGISTRY["unet_little"] = UNetLittle
+        MODEL_REGISTRY["mimo_unet"] = MIMOUNet
+        MODEL_REGISTRY["unite_unet_raft"] = UNetERAFT
+        MODEL_REGISTRY["unite_densectx_raft"] = UNetDenseCTX
+        MODEL_REGISTRY["unite_mimounet_raft"] = MIMOUNetERAFT
+        MODEL_REGISTRY["unite_denoise_raft"] = DenoiseERAFT
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.spike import SpikeFlowNetS, STEFlowNet
+
+        MODEL_REGISTRY["spikeflownet"] = SpikeFlowNetS
+        MODEL_REGISTRY["steflow"] = STEFlowNet
+    except ImportError:
+        pass

@@ -47,7 +47,11 @@ def build_corr_pyramid(
     corr = corr.reshape(B * H * W, H, W, 1)
     pyramid = [corr]
     for _ in range(num_levels - 1):
-        corr = avg_pool2d(corr, 2, 2)
+        if corr.shape[1] >= 2 and corr.shape[2] >= 2:
+            corr = avg_pool2d(corr, 2, 2)
+        # else: feature map too coarse to pool further — repeat the last
+        # level so the lookup channel count stays fixed (the reference
+        # would produce a zero-sized map and crash here)
         pyramid.append(corr)
     return pyramid
 

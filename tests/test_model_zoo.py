@@ -1,0 +1,137 @@
+"""Zoo breadth tests: UNet oracle parity, MIMO-UNet / SK / unite / spiking
+smoke + semantics checks."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from eemflow_tpu.compat import torch_state_dict_to_flax
+from torch_oracles import OracleUNet
+
+RNG = np.random.default_rng(0)
+
+
+def test_unet_matches_torch_oracle():
+    from eemflow_tpu.models.unet import UNet
+
+    torch.manual_seed(0)
+    oracle = OracleUNet(in_ch=5, out_ch=5, base=8, depth=2).eval()
+    x = RNG.standard_normal((1, 5, 32, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x)).numpy()
+    variables = torch_state_dict_to_flax(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}
+    )
+    model = UNet(out_ch=5, base=8, depth=2)
+    got = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mimo_unet_shapes_and_res():
+    from eemflow_tpu.models.unet import MIMOUNet
+
+    model = MIMOUNet(out_ch=5, base=8)
+    x = jnp.asarray(RNG.standard_normal((1, 32, 48, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = jax.jit(lambda v, a: model.apply(v, a))(variables, x)
+    assert [o.shape for o in outs] == [(1, 8, 12, 5), (1, 16, 24, 5), (1, 32, 48, 5)]
+    # with_res=False changes the output (residual path live)
+    outs2 = model.apply(variables, x, with_res=False)
+    assert not np.allclose(np.asarray(outs[-1]), np.asarray(outs2[-1]))
+
+
+def test_sk_fusion_convexity():
+    from eemflow_tpu.models.sknet import SKFuse, SKScoreFuse
+
+    a = jnp.asarray(RNG.standard_normal((2, 16, 16, 5)), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal((2, 16, 16, 5)), jnp.float32)
+    for cls in (SKFuse, SKScoreFuse):
+        m = cls()
+        v = m.init(jax.random.PRNGKey(0), a, b)
+        out = m.apply(v, a, b)
+        assert out.shape == a.shape
+        # fusion is a per-position convex combination → bounded by min/max
+        lo = jnp.minimum(a, b) - 1e-5
+        hi = jnp.maximum(a, b) + 1e-5
+        assert bool(jnp.all((out >= lo) & (out <= hi))), cls.__name__
+
+
+def test_unite_variants_smoke():
+    from eemflow_tpu.models.unite import (
+        DenoiseERAFT,
+        MIMOUNetERAFT,
+        UNetDenseCTX,
+        UNetERAFT,
+    )
+
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    for cls, kwargs in [
+        (UNetERAFT, {}),
+        (UNetDenseCTX, {}),
+        (MIMOUNetERAFT, {"use_sk": True}),
+        (DenoiseERAFT, {}),
+    ]:
+        model = cls(iters=2, **kwargs)
+        variables = model.init(jax.random.PRNGKey(0), x, x)
+        maps, flows = jax.jit(
+            lambda v, a, b, m=model: m.apply(v, a, b)
+        )(variables, x, x)
+        assert flows.shape == (2, 1, 64, 64, 2), cls.__name__
+
+
+def test_spike_fire_surrogate_gradient():
+    from eemflow_tpu.models.spike import if_neuron, spike_fire
+
+    ex = jnp.asarray([0.0, 1e-6, 0.5, 2.0])
+    out = spike_fire(ex, 0.75)
+    np.testing.assert_array_equal(np.asarray(out), [0, 0, 1, 1])
+    g = jax.grad(lambda e: jnp.sum(spike_fire(e, 0.75) * jnp.arange(4.0)))(ex)
+    # grad = upstream * (1/threshold) at firing positions
+    np.testing.assert_allclose(np.asarray(g), [0, 0, 2 / 0.75, 3 / 0.75], rtol=1e-6)
+
+    mem = jnp.asarray([0.2, 0.8, 1.5])
+    new_mem, spikes = if_neuron(mem, 0.75)
+    np.testing.assert_allclose(np.asarray(new_mem), [0.2, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(spikes), [0, 1, 1])
+
+
+def test_spike_flownets_smoke():
+    from eemflow_tpu.models.spike import SpikeFlowNetS
+
+    model = SpikeFlowNetS()
+    x = jnp.asarray(RNG.standard_normal((1, 32, 32, 4, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, flows = jax.jit(lambda v, a: model.apply(v, a))(variables, x)
+    assert flows[-1].shape == (1, 32, 32, 2)
+
+
+def test_steflow_smoke():
+    from eemflow_tpu.models.spike import STEFlowNet
+
+    model = STEFlowNet(num_iterative=1)
+    x = jnp.asarray(RNG.standard_normal((1, 32, 32, 2, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, flows = jax.jit(lambda v, a: model.apply(v, a))(variables, x)
+    assert flows[-1].shape == (1, 32, 32, 2)
+
+
+def test_registry_lists_all():
+    from eemflow_tpu.models import get_model
+
+    for name in [
+        "eemflow", "eemflow_plus", "eraft", "gma", "unet", "unet_l",
+        "unet_little", "mimo_unet", "unite_unet_raft", "unite_densectx_raft",
+        "unite_mimounet_raft", "unite_denoise_raft", "spikeflownet", "steflow",
+    ]:
+        assert get_model(name) is not None, name
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

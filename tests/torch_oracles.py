@@ -616,3 +616,50 @@ class OracleGMA(nn.Module):
             ht, wd = flow_up.shape[-2:]
             preds.append(flow_up[..., t : ht - b, l : wd - rr])
         return preds
+
+
+# ----------------------------------------------------------------- UNet ----
+
+class OracleUNet(nn.Module):
+    """5-level UNet matching reference model/unet.py:50 naming."""
+
+    def __init__(self, in_ch=5, out_ch=5, base=32, depth=4):
+        super().__init__()
+        f = [base * (2 ** i) for i in range(depth + 1)]
+        self.depth = depth
+
+        def block(ci, co):
+            return nn.Sequential(
+                nn.Conv2d(ci, co, 3, 1, 1), nn.BatchNorm2d(co), nn.ReLU(),
+                nn.Conv2d(co, co, 3, 1, 1), nn.BatchNorm2d(co), nn.ReLU(),
+            )
+
+        def up(ci, co):
+            return nn.Sequential(
+                nn.Upsample(scale_factor=2), nn.Conv2d(ci, co, 3, 1, 1),
+                nn.BatchNorm2d(co), nn.ReLU(),
+            )
+
+        prev = in_ch
+        for i in range(depth + 1):
+            setattr(self, f"Conv{i+1}", block(prev, f[i]))
+            prev = f[i]
+        for i in range(depth, 0, -1):
+            setattr(self, f"Up{i+1}", up(f[i], f[i-1]))
+            setattr(self, f"Up_conv{i+1}", block(f[i], f[i-1]))
+        self.Conv = nn.Conv2d(f[0], out_ch, 1, 1, 0)
+
+    def forward(self, x):
+        skips = []
+        e = x
+        for i in range(self.depth + 1):
+            if i > 0:
+                e = F.max_pool2d(e, 2, 2)
+            e = getattr(self, f"Conv{i+1}")(e)
+            skips.append(e)
+        d = skips[-1]
+        for i in range(self.depth, 0, -1):
+            d = getattr(self, f"Up{i+1}")(d)
+            d = torch.cat([skips[i-1], d], 1)
+            d = getattr(self, f"Up_conv{i+1}")(d)
+        return self.Conv(d)
