@@ -82,3 +82,15 @@ def _populate() -> None:
         MODEL_REGISTRY["steflow"] = STEFlowNet
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.irrpwc import PWCNet
+
+        MODEL_REGISTRY["irrpwc"] = PWCNet
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.gmflow import GMFlow
+
+        MODEL_REGISTRY["gmflow"] = GMFlow
+    except ImportError:
+        pass

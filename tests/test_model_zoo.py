@@ -135,3 +135,36 @@ def test_registry_lists_all():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_irrpwc_smoke():
+    from eemflow_tpu.models.irrpwc import PWCNet
+
+    model = PWCNet()
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, preds = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert len(preds) == 5
+    assert preds[-1].shape == (1, 64, 64, 2)
+
+
+def test_gmflow_smoke():
+    from eemflow_tpu.models.gmflow import GMFlow
+
+    model = GMFlow()
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, preds = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert preds[-1].shape == (1, 64, 64, 2)
+    # train mode emits the intermediate bilinear predictions too
+    _, preds_t = model.apply(variables, x, x, train=True)
+    assert len(preds_t) == 2
+
+
+def test_gmflow_global_matching_identity():
+    """Matching a feature map against itself peaks on the diagonal → ~zero flow."""
+    from eemflow_tpu.models.gmflow import global_correlation_softmax
+
+    f = jnp.asarray(RNG.standard_normal((1, 8, 10, 32)) * 4, jnp.float32)
+    flow = global_correlation_softmax(f, f)
+    assert float(jnp.abs(flow).max()) < 0.3
