@@ -94,3 +94,27 @@ def _populate() -> None:
         MODEL_REGISTRY["gmflow"] = GMFlow
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.skflow import SKFlow
+
+        MODEL_REGISTRY["skflow"] = SKFlow
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.kpaflow import KPAFlow
+
+        MODEL_REGISTRY["kpaflow"] = KPAFlow
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.dceiflow import DCEIFlow
+
+        MODEL_REGISTRY["dceiflow"] = DCEIFlow
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.raft import RAFT
+
+        MODEL_REGISTRY["raft"] = RAFT
+    except ImportError:
+        pass

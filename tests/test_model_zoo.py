@@ -168,3 +168,44 @@ def test_gmflow_global_matching_identity():
     f = jnp.asarray(RNG.standard_normal((1, 8, 10, 32)) * 4, jnp.float32)
     flow = global_correlation_softmax(f, f)
     assert float(jnp.abs(flow).max()) < 0.3
+
+
+def test_skflow_smoke():
+    from eemflow_tpu.models.skflow import SKFlow
+
+    model = SKFlow(iters=2)
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert flows.shape == (2, 1, 64, 64, 2)
+
+
+def test_kpaflow_smoke():
+    from eemflow_tpu.models.kpaflow import KPAFlow
+
+    model = KPAFlow(iters=2, sc_enc=4, sc_dec=4)
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert flows.shape == (2, 1, 64, 64, 2)
+
+
+def test_dceiflow_smoke():
+    from eemflow_tpu.models.dceiflow import DCEIFlow
+
+    model = DCEIFlow(iters=2)
+    ev = jnp.asarray(RNG.random((1, 64, 64, 10)), jnp.float32)
+    img = jnp.asarray(RNG.random((1, 64, 64, 3)) * 255, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ev, img)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, ev, img)
+    assert flows.shape == (2, 1, 64, 64, 2)
+
+
+def test_raft_smoke():
+    from eemflow_tpu.models.raft import RAFT
+
+    model = RAFT(iters=2)
+    img = jnp.asarray(RNG.random((1, 64, 64, 3)) * 255, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, img, img)
+    assert flows.shape == (2, 1, 64, 64, 2)
