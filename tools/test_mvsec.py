@@ -1,0 +1,90 @@
+"""MVSEC evaluation CLI (reference ``test_mvsec.py`` engine usage).
+
+Evaluates dense or sparse protocol with the reference's exact masking
+(is_car row-crop for outdoor sequences, event-presence mask for sparse,
+center-crop 256 val frames), per-sample CSV, stride subsampling.
+
+Usage:
+  python tools/test_mvsec.py -model eemflow -int dt1 --sequence indoor_flying1 \
+      --data_root dataset/MVSEC --checkpoint <ckpt> --eval_type dense --stride 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Evaluate on MVSEC")
+    p.add_argument("-model", default="eemflow")
+    p.add_argument("-int", dest="event_interval", default="dt1", choices=["dt1", "dt4"])
+    p.add_argument("--sequence", default="indoor_flying1")
+    p.add_argument("--data_root", default="dataset/MVSEC")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--eval_type", default="dense", choices=["dense", "sparse"])
+    p.add_argument("--stride", type=int, default=30)
+    p.add_argument("--save_dir", default="runs/mvsec_eval")
+    p.add_argument("--save_csv", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
+    from eemflow_tpu.eval.runner import Tester
+    from eemflow_tpu.models import get_model
+    from eemflow_tpu.utils.logger import Logger
+
+    model = get_model(args.model)
+
+    if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+        from eemflow_tpu.compat.torch_loader import (
+            eemflow_alias,
+            eraft_alias,
+            load_torch_checkpoint,
+            torch_state_dict_to_flax,
+        )
+
+        alias = {"eemflow": eemflow_alias}.get(args.model, eraft_alias)
+        sd = load_torch_checkpoint(args.checkpoint)
+        sd = {k: v for k, v in sd.items() if k != "index"}
+        variables = torch_state_dict_to_flax(sd, alias=alias)
+    else:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+
+    ds_cls = MvsecEventFlow if args.event_interval == "dt1" else MvsecEventFlow_dt4
+    dataset = ds_cls(
+        args.data_root, sequence=args.sequence, train=False,
+        eval_type=args.eval_type,
+    )
+    is_car = "outdoor" in args.sequence
+
+    save_path = os.path.join(
+        args.save_dir, f"{args.model}_{args.event_interval}_{args.sequence}"
+    )
+    logger = Logger(save_path)
+    tester = Tester(
+        model, variables, logger=logger, save_path=save_path,
+        save_csv=args.save_csv, is_car=is_car,
+    )
+    res = tester.test_sequence(dataset, stride=args.stride)
+    logger.write_line(
+        f"[{args.sequence}/{args.eval_type}] AEE {res['AEE']:.6f} "
+        f"1px-out {res['pct1_outlier']:.6f} 3px-out {res['pct3_outlier']:.6f} "
+        f"({res['n_samples']} samples)",
+        True,
+    )
+
+
+if __name__ == "__main__":
+    main()

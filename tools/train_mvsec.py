@@ -1,0 +1,106 @@
+"""MVSEC training CLI (reference ``train_mvsec.py`` engine usage, importable
+module + CLI: the reference ships the engine without a __main__; this CLI
+wires it like the HREM entry point does).
+
+Usage:
+  python tools/train_mvsec.py -model eemflow -int dt1 --sequence outdoor_day2 \
+      --data_root dataset/MVSEC --config configs/mvsec_event_flow_dense.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train on MVSEC")
+    p.add_argument("-model", default="eemflow")
+    p.add_argument("-int", dest="event_interval", default="dt1", choices=["dt1", "dt4"])
+    p.add_argument("--sequence", default="outdoor_day2")
+    p.add_argument("--config", default="configs/mvsec_event_flow_dense.json")
+    p.add_argument("--data_root", default="dataset/MVSEC")
+    p.add_argument("-bs", "--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--wd", type=float, default=5e-5)
+    p.add_argument("--train_iters", type=int, default=200000)
+    p.add_argument("--val_iters", type=int, default=5000)
+    p.add_argument("-se", "--start_epoch", type=int, default=None)
+    p.add_argument("--save_dir", default="runs/mvsec")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+
+    from eemflow_tpu.data.loader import batch_iterator, prefetch
+    from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
+    from eemflow_tpu.models import get_model
+    from eemflow_tpu.parallel.mesh import make_mesh, shard_batch
+    from eemflow_tpu.train.checkpoint import restore_checkpoint
+    from eemflow_tpu.train.optim import make_optimizer
+    from eemflow_tpu.train.trainer import Trainer, create_train_state
+    from eemflow_tpu.utils.config import load_config, create_save_path, snapshot_config
+    from eemflow_tpu.utils.logger import Logger
+
+    cfg = load_config(args.config) if os.path.exists(args.config) else {}
+    train_args = cfg.get("data_loader", {}).get("train", {}).get("args", {})
+    aug = train_args.get(
+        "aug_params", {"crop_size": [256, 256], "min_scale": -0.2, "max_scale": 0.5,
+                       "do_flip": True}
+    )
+
+    ds_cls = MvsecEventFlow if args.event_interval == "dt1" else MvsecEventFlow_dt4
+    dataset = ds_cls(
+        args.data_root,
+        sequence=args.sequence,
+        train=True,
+        num_bins=train_args.get("num_voxel_bins", 5),
+        eval_type=train_args.get("eval_type", "dense"),
+        aug_params=aug,
+        rng=np.random.default_rng(args.seed),
+    )
+
+    save_path = create_save_path(
+        args.save_dir, f"{args.model}_{args.event_interval}_{args.sequence}",
+        args.lr, args.wd,
+    )
+    logger = Logger(save_path)
+    snapshot_config({**cfg, "cli": vars(args)}, save_path)
+    logger.write_line(f"dataset: {len(dataset)} samples", True)
+
+    model = get_model(args.model)
+    tx = make_optimizer(lr=args.lr, wdecay=args.wd, num_steps=args.train_iters)
+
+    mesh = make_mesh(n_spatial=1)
+    batches = prefetch(
+        batch_iterator(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    )
+
+    def to_device(b):
+        b = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+        return shard_batch(b, mesh)
+
+    first = to_device(next(iter(batches)))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), first, tx)
+
+    ckpt_dir = os.path.join(save_path, "ckpt")
+    start_epoch = 0
+    if args.start_epoch is not None:
+        state, start_epoch = restore_checkpoint(ckpt_dir, state, args.start_epoch)
+        logger.write_line(f"resumed from epoch {start_epoch}", True)
+
+    trainer = Trainer(model, tx, logger=logger, checkpoint_dir=ckpt_dir)
+    for epoch in range(start_epoch, args.train_iters // args.val_iters):
+        state = trainer.train_iters(
+            state, map(to_device, batches), start_epoch=epoch,
+            val_iters=args.val_iters,
+        )
+
+
+if __name__ == "__main__":
+    main()
