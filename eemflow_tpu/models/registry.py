@@ -118,3 +118,15 @@ def _populate() -> None:
         MODEL_REGISTRY["raft"] = RAFT
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.gmflownet import GMFlowNetModel
+
+        MODEL_REGISTRY["gmflownet"] = GMFlowNetModel
+    except ImportError:
+        pass
+    try:
+        from eemflow_tpu.models.flowformer import FlowFormer
+
+        MODEL_REGISTRY["flowformer"] = FlowFormer
+    except ImportError:
+        pass

@@ -209,3 +209,28 @@ def test_raft_smoke():
     variables = model.init(jax.random.PRNGKey(0), img, img)
     _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, img, img)
     assert flows.shape == (2, 1, 64, 64, 2)
+
+
+def test_gmflownet_smoke():
+    from eemflow_tpu.models.gmflownet import GMFlowNetModel
+
+    model = GMFlowNetModel(iters=2, depth=2)
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert flows.shape == (2, 1, 64, 64, 2)
+    # train mode returns (flows, softCorrMap) for the matching loss
+    (_, (flows_t, scm)), _ = model.apply(
+        variables, x, x, train=True, mutable=["batch_stats"]
+    )
+    assert scm.shape == (1, 64, 64)
+
+
+def test_flowformer_smoke():
+    from eemflow_tpu.models.flowformer import FlowFormer
+
+    model = FlowFormer(encoder_depth=1, decoder_depth=2)
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
+    assert flows.shape == (2, 1, 64, 64, 2)
