@@ -130,3 +130,11 @@ def _populate() -> None:
         MODEL_REGISTRY["flowformer"] = FlowFormer
     except ImportError:
         pass
+    try:
+        from eemflow_tpu.models.event_transformer import EventTransformer
+        from eemflow_tpu.models.gma_rnn import RAFTGMA_RNN
+
+        MODEL_REGISTRY["event_transformer"] = EventTransformer
+        MODEL_REGISTRY["gma_rnn"] = RAFTGMA_RNN
+    except ImportError:
+        pass

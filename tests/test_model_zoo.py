@@ -234,3 +234,58 @@ def test_flowformer_smoke():
     variables = model.init(jax.random.PRNGKey(0), x, x)
     _, flows = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, x, x)
     assert flows.shape == (2, 1, 64, 64, 2)
+
+
+def test_event_transformer_smoke():
+    from eemflow_tpu.models.event_transformer import (
+        EventTransformer,
+        farthest_point_sample,
+        select_nearest_vector,
+    )
+
+    # fps picks distinct extreme points
+    pts = jnp.asarray([[[0.0, 0], [10, 0], [0, 10], [5, 5]]])
+    s = np.asarray(farthest_point_sample(pts, 2))
+    assert s.shape == (1, 2, 2)
+
+    sn = select_nearest_vector(jnp.ones((1, 16, 3)), 4)
+    assert sn.shape == (1, 16, 4, 3)
+
+    model = EventTransformer(C=8, Cn=16, M=4, image_size=(24, 32))
+    ev = jnp.asarray(
+        np.stack(
+            [
+                RNG.uniform(0, 32, (64,)),
+                RNG.uniform(0, 24, (64,)),
+                np.sort(RNG.uniform(0, 1, (64,))),
+                RNG.choice([-1.0, 1.0], (64,)),
+            ],
+            axis=-1,
+        )[None],
+        jnp.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), ev)
+    out = jax.jit(lambda v, e: model.apply(v, e))(variables, ev)
+    assert out.shape == (1, 24, 32, 8)
+
+
+def test_gma_rnn_smoke():
+    from eemflow_tpu.models.gma_rnn import RAFTGMA_RNN
+
+    model = RAFTGMA_RNN(iters=1, image_size=(32, 32))
+    segs = jnp.asarray(
+        np.stack(
+            [
+                RNG.uniform(0, 32, (2, 3, 32)),
+                RNG.uniform(0, 32, (2, 3, 32)),
+                np.sort(RNG.uniform(0, 1, (2, 3, 32)), axis=-1),
+                RNG.choice([-1.0, 1.0], (2, 3, 32)),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )  # [B=2, S=3, N=32, 4]
+    variables = model.init(jax.random.PRNGKey(0), segs)
+    _, preds = jax.jit(lambda v, s: model.apply(v, s))(variables, segs)
+    assert len(preds) == 2  # (S-1) segments × 1 iter
+    assert preds[-1].shape == (2, 32, 32, 2)
