@@ -126,3 +126,162 @@ class Tester:
         self._log(f"mean AEE over sequences: {mean_aee:.6f}")
         results["mean"] = {"AEE": mean_aee}
         return results
+
+
+class ResearchTester(Tester):
+    """Research evaluation modes (reference ``test_mvsec.py``):
+    flow dumps (:1008 test_multi_save_flow), low-EPE visualization
+    (:442 test_vis_low_epe), warp inference (:673 inference_img — the
+    reference's own helper module is missing from its repo; warping here
+    uses the shared backwarp op), density-bucketed AEE (:1181
+    test_multi_density)."""
+
+    def test_multi_save_flow(self, dataset, out_dir: str, stride: int = 1,
+                             max_samples: Optional[int] = None) -> int:
+        """Save predicted flow per sample as .flo + colorwheel jpg."""
+        from eemflow_tpu.events.io import write_flo
+        from eemflow_tpu.viz.flow_viz import visualize_optical_flow
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_network(
+                sample["event_volume_old"], sample["event_volume_new"]
+            )
+            write_flo(flow_est, os.path.join(out_dir, f"{idx:06d}.flo"))
+            try:
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_flow.jpg"),
+                    visualize_optical_flow(flow_est),
+                )
+            except ImportError:
+                pass
+            n += 1
+            if max_samples is not None and n >= max_samples:
+                break
+        self._log(f"saved {n} flow predictions to {out_dir}")
+        return n
+
+    def test_vis_low_epe(self, dataset, out_dir: str, epe_threshold: float = 1.0,
+                         stride: int = 1, max_samples: Optional[int] = None):
+        """Dump visualizations for samples whose AEE is below threshold."""
+        from eemflow_tpu.viz.flow_viz import visualize_optical_flow
+
+        os.makedirs(out_dir, exist_ok=True)
+        kept = []
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_network(
+                sample["event_volume_old"], sample["event_volume_new"]
+            )
+            aee, *_ = flow_error(
+                np.asarray(sample["flow"]), flow_est,
+                event_img=np.squeeze(np.asarray(sample.get("event_valid")))
+                if sample.get("event_valid") is not None else None,
+                is_car=self.is_car,
+                evaluation_type=getattr(dataset, "evaluation_type", "dense"),
+            )
+            if aee < epe_threshold:
+                kept.append((idx, aee))
+                try:
+                    import cv2
+
+                    cv2.imwrite(
+                        os.path.join(out_dir, f"{idx:06d}_est_epe{aee:.3f}.jpg"),
+                        visualize_optical_flow(flow_est),
+                    )
+                    cv2.imwrite(
+                        os.path.join(out_dir, f"{idx:06d}_gt.jpg"),
+                        visualize_optical_flow(np.asarray(sample["flow"])),
+                    )
+                except ImportError:
+                    pass
+            if max_samples is not None and len(kept) >= max_samples:
+                break
+        self._log(f"{len(kept)} samples below EPE {epe_threshold}")
+        return kept
+
+    def inference_warp(self, dataset, out_dir: str, stride: int = 1,
+                       max_samples: Optional[int] = None) -> int:
+        """Warp the second event image back by the predicted flow and save
+        (event1, warped-event2) frame pairs — the reference's warp-GIF mode."""
+        import jax.numpy as jnp
+
+        from eemflow_tpu.ops.warp import backwarp
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_network(
+                sample["event_volume_old"], sample["event_volume_new"]
+            )
+            ev2 = np.asarray(sample["event_volume_new"]).sum(-1, keepdims=True)
+            warped = np.asarray(
+                backwarp(jnp.asarray(ev2)[None], jnp.asarray(flow_est)[None])
+            )[0]
+
+            def to_img(a):
+                a = np.squeeze(a)
+                rng = a.max() - a.min()
+                return ((a - a.min()) / (rng + 1e-8) * 255).astype(np.uint8)
+
+            try:
+                import cv2
+
+                ev1 = np.asarray(sample["event_volume_old"]).sum(-1)
+                cv2.imwrite(os.path.join(out_dir, f"{idx:06d}_ev1.jpg"), to_img(ev1))
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_ev2_warped.jpg"), to_img(warped)
+                )
+            except ImportError:
+                pass
+            n += 1
+            if max_samples is not None and n >= max_samples:
+                break
+        return n
+
+    def test_multi_density(self, dataset, buckets=(0.0, 0.05, 0.15, 0.3, 1.01),
+                           stride: int = 1, max_samples: Optional[int] = None):
+        """AEE grouped by event-density buckets (fraction of active pixels)."""
+        sums = [0.0] * (len(buckets) - 1)
+        counts = [0] * (len(buckets) - 1)
+        done = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            ev = np.asarray(sample["event_volume_old"])
+            density = float((np.abs(ev).sum(-1) > 0).mean())
+            flow_est = self.run_network(ev, sample["event_volume_new"])
+            aee, *_ = flow_error(
+                np.asarray(sample["flow"]), flow_est,
+                event_img=np.squeeze(np.asarray(sample.get("event_valid")))
+                if sample.get("event_valid") is not None else None,
+                is_car=self.is_car,
+                evaluation_type=getattr(dataset, "evaluation_type", "dense"),
+            )
+            for b in range(len(buckets) - 1):
+                if buckets[b] <= density < buckets[b + 1]:
+                    sums[b] += aee
+                    counts[b] += 1
+            done += 1
+            if max_samples is not None and done >= max_samples:
+                break
+        result = {
+            f"[{buckets[b]:.2f},{buckets[b + 1]:.2f})":
+                (sums[b] / counts[b] if counts[b] else float("nan"), counts[b])
+            for b in range(len(buckets) - 1)
+        }
+        for k, (aee, cnt) in result.items():
+            self._log(f"density {k}: AEE {aee:.4f} ({cnt} samples)")
+        return result

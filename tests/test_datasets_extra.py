@@ -1,0 +1,118 @@
+"""Frame datasets, ResNet, research tester, event warping tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+RNG = np.random.default_rng(0)
+
+
+def test_flying_chairs_synthetic(tmp_path):
+    from eemflow_tpu.data.frame_datasets import FlyingChairs
+    from eemflow_tpu.events.io import write_flo
+    from PIL import Image
+
+    root = tmp_path / "chairs"
+    (root / "data").mkdir(parents=True)
+    for i in range(1, 3):
+        for k in (1, 2):
+            Image.fromarray(
+                RNG.integers(0, 255, (32, 48, 3), dtype=np.uint8).astype(np.uint8)
+            ).save(root / "data" / f"{i:05d}_img{k}.ppm")
+        write_flo(
+            RNG.standard_normal((32, 48, 2)).astype(np.float32),
+            str(root / "data" / f"{i:05d}_flow.flo"),
+        )
+    ds = FlyingChairs(str(root), "training")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["event_volume_old"].shape == (32, 48, 3)
+    assert s["flow"].shape == (32, 48, 2)
+
+
+def test_kitti_flow_png_roundtrip(tmp_path):
+    import cv2
+
+    from eemflow_tpu.data.frame_datasets import read_flow_kitti
+
+    flow = (RNG.standard_normal((16, 20, 2)) * 10).astype(np.float32)
+    enc = np.zeros((16, 20, 3), np.uint16)
+    enc[..., :2] = (flow * 64.0 + 2**15).astype(np.uint16)
+    enc[..., 2] = 1
+    path = str(tmp_path / "f.png")
+    cv2.imwrite(path, enc[..., ::-1])
+    dec, valid = read_flow_kitti(path)
+    np.testing.assert_allclose(dec, flow, atol=1 / 64)
+    assert valid.all()
+
+
+def test_resnet_smoke():
+    from eemflow_tpu.models.resnet import ResNet
+
+    model = ResNet(layers=(1, 1, 1, 1), widths=(16, 32, 64, 128))
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 2, 2, 128)
+
+
+def test_event_warp():
+    from eemflow_tpu.events.warp import warp_events_flow
+
+    # constant flow (2, 0): events at t_norm=1 move by -2 in x
+    flow = jnp.zeros((8, 8, 2)).at[..., 0].set(2.0)
+    events = jnp.asarray(
+        [[0.0, 4, 4, 1], [1.0, 4, 4, 1], [2.0, 6, 2, -1]], jnp.float32
+    )
+    out = np.asarray(warp_events_flow(events, jnp.asarray(3), flow))
+    np.testing.assert_allclose(out[0, 1], 4.0, atol=1e-5)  # t=0: no motion
+    np.testing.assert_allclose(out[1, 1], 4.0 - 2.0 * 0.5, atol=1e-5)  # t_norm=0.5
+    np.testing.assert_allclose(out[2, 1], 6.0 - 2.0, atol=1e-5)  # t_norm=1
+
+
+def test_research_tester_modes(tmp_path):
+    import flax.linen as nn
+
+    from eemflow_tpu.eval.runner import ResearchTester
+
+    class ZeroModel(nn.Module):
+        @nn.compact
+        def __call__(self, e1, e2, train=False):
+            s = self.param("s", nn.initializers.zeros, (1,))
+            return (e1, e2), [jnp.zeros(e1.shape[:3] + (2,)) + s]
+
+    class StubDS:
+        evaluation_type = "dense"
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {
+                "event_volume_old": RNG.standard_normal((16, 16, 5)).astype(np.float32),
+                "event_volume_new": RNG.standard_normal((16, 16, 5)).astype(np.float32),
+                "flow": np.full((16, 16, 2), 0.5, np.float32),
+            }
+
+    model = ZeroModel()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 5)), jnp.zeros((1, 16, 16, 5))
+    )
+    t = ResearchTester(model, variables)
+    n = t.test_multi_save_flow(StubDS(), str(tmp_path / "flows"))
+    assert n == 2
+    assert os.path.exists(tmp_path / "flows" / "000000.flo")
+    kept = t.test_vis_low_epe(StubDS(), str(tmp_path / "lowepe"), epe_threshold=10.0)
+    assert len(kept) == 2
+    n = t.inference_warp(StubDS(), str(tmp_path / "warp"))
+    assert n == 2
+    res = t.test_multi_density(StubDS())
+    assert any(cnt > 0 for _, cnt in res.values())
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
