@@ -1,5 +1,6 @@
 from eemflow_tpu.events.voxel import (
     events_to_voxel_grid,
+    events_to_voxel_grid_batch,
     events_to_voxel_grid_np,
     pad_events,
 )

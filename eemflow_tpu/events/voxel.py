@@ -156,3 +156,23 @@ def events_to_voxel_grid_np(
             else:
                 grid[nz] = grid[nz] - mean
     return grid.astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_bins", "height", "width", "normalize")
+)
+def events_to_voxel_grid_batch(
+    events: jax.Array,
+    n_valid: jax.Array,
+    num_bins: int,
+    height: int,
+    width: int,
+    normalize: bool = True,
+) -> jax.Array:
+    """Batched device voxelization: [B, N, 4] + [B] → [B, bins, H, W].
+
+    The TPU-native input path (SURVEY.md §3.1): the reference voxelizes per
+    sample on dataloader worker CPUs; here the host only pads raw events to
+    a fixed bucket and the scatter-add runs vmapped on device."""
+    fn = lambda e, n: events_to_voxel_grid(e, n, num_bins, height, width, normalize)
+    return jax.vmap(fn)(events, n_valid)

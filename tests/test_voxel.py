@@ -94,3 +94,19 @@ def test_voxel_truncation_and_padding_consistency():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_batched_device_voxelizer():
+    from eemflow_tpu.events import events_to_voxel_grid_batch
+
+    evs, nvs, refs = [], [], []
+    for i in range(3):
+        ev = make_events(400 + 100 * i, 24, 32)
+        refs.append(events_to_voxel_grid_np(ev.copy(), 5, 24, 32))
+        p, n = pad_events(ev, 1024)
+        evs.append(p)
+        nvs.append(n)
+    out = events_to_voxel_grid_batch(
+        jnp.asarray(np.stack(evs)), jnp.asarray(np.asarray(nvs)), 5, 24, 32
+    )
+    np.testing.assert_allclose(np.asarray(out), np.stack(refs), atol=2e-3)

@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("-se", "--start_epoch", type=int, default=None)
     p.add_argument("--save_dir", default="runs/hrem")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--full_res_flow", action="store_true",
+        help="train against full-resolution flow instead of the 16x16 meshflow",
+    )
     args = p.parse_args()
 
     import jax
@@ -65,7 +69,12 @@ def main() -> None:
     logger = Logger(save_path)
     snapshot_config({**cfg, "cli": vars(args)}, save_path)
 
-    model = get_model(args.model)
+    # meshflow training: EEMFlow predicts at mesh resolution (16x16) to match
+    # the HREM meshflow GT (the reference's out_mesh_size branch)
+    model_kwargs = {}
+    if args.model == "eemflow" and not args.full_res_flow:
+        model_kwargs["out_mesh_size"] = True
+    model = get_model(args.model, **model_kwargs)
     tx = make_optimizer(
         lr=args.lr,
         wdecay=args.wd,
