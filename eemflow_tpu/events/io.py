@@ -23,12 +23,35 @@ def read_compressed_events(event_path: str) -> np.ndarray:
 
 
 def read_events_h5(event_path: str) -> np.ndarray:
-    """Read a per-frame pandas-HDF5 event table ('myDataset' key) → [N,4]
-    [ts, x, y, p] (reference ``loader_utils.py:44-52``)."""
-    import pandas
+    """Read a per-frame HDF5 event table → [N,4] [ts, x, y, p].
 
-    f = pandas.read_hdf(event_path, "myDataset")
-    return f[["ts", "x", "y", "p"]].to_numpy(dtype=np.float64)
+    Supports the reference's pandas-HDF5 'myDataset' tables
+    (``loader_utils.py:44-52``; requires pytables) and a plain-h5py layout
+    with ts/x/y/p datasets (root or under 'myDataset') as written by our
+    encoder fallback."""
+    try:
+        import pandas
+
+        f = pandas.read_hdf(event_path, "myDataset")
+        return f[["ts", "x", "y", "p"]].to_numpy(dtype=np.float64)
+    except (ImportError, ValueError, TypeError, KeyError):
+        pass
+    import h5py
+
+    with h5py.File(event_path, "r") as f:
+        g = f["myDataset"] if "myDataset" in f and hasattr(f["myDataset"], "keys") else f
+        cols = [np.asarray(g[k], np.float64) for k in ("ts", "x", "y", "p")]
+    return np.stack(cols, axis=1)
+
+
+def write_events_h5(events: np.ndarray, event_path: str) -> None:
+    """Write [N,4] [ts,x,y,p] as plain h5py datasets under 'myDataset'."""
+    import h5py
+
+    with h5py.File(event_path, "w") as f:
+        g = f.create_group("myDataset")
+        for i, k in enumerate(("ts", "x", "y", "p")):
+            g.create_dataset(k, data=events[:, i])
 
 
 def read_flo(flow_path: str) -> np.ndarray:

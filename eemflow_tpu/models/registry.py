@@ -21,10 +21,19 @@ def register(name: str):
     return deco
 
 
+# reference CLI spellings (train_EEMFlow_HREM.py:30-55) → registry names
+ALIASES = {
+    "EEMFlow": "eemflow",
+    "GMA": "gma",
+    "spike_flownets": "spikeflownet",
+}
+
+
 def get_model(name: str, **kwargs):
     """Build a model by registry name (kwargs forwarded to the flax module)."""
     # populate lazily to avoid import cycles
     _populate()
+    name = ALIASES.get(name, name)
     if name not in MODEL_REGISTRY:
         raise KeyError(
             f"Unknown model '{name}'. Available: {sorted(MODEL_REGISTRY)}"

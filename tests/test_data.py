@@ -177,3 +177,61 @@ def test_hrem_dataset_synthetic(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def _write_mvsec_sequence(root, seq, frames, h=32, w=40, n_events=300):
+    from eemflow_tpu.events.io import write_events_h5
+
+    rng = np.random.default_rng(7)
+    seq_dir = os.path.join(root, seq)
+    os.makedirs(os.path.join(seq_dir, "event"), exist_ok=True)
+    for d in ("flowgt_dt1", "flowgt_dt4"):
+        os.makedirs(os.path.join(seq_dir, d), exist_ok=True)
+    for i in range(frames[0], frames[1] + 10):
+        ev = np.stack(
+            [
+                np.sort(rng.uniform(i * 0.03, (i + 1) * 0.03, n_events)),
+                rng.integers(0, w, n_events),
+                rng.integers(0, h, n_events),
+                rng.integers(0, 2, n_events),
+            ],
+            axis=1,
+        )
+        write_events_h5(ev, os.path.join(seq_dir, "event", f"{i + 1:06d}.h5"))
+        for d in ("flowgt_dt1", "flowgt_dt4"):
+            np.save(os.path.join(seq_dir, d, f"{i}.npy"),
+                    rng.standard_normal((2, h, w)).astype(np.float32))
+
+
+def test_mvsec_dataset_synthetic_dt1_dt4(tmp_path, monkeypatch):
+    from eemflow_tpu.data import mvsec as mvsec_mod
+    from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
+
+    root = str(tmp_path)
+    # shrink the valid range table for the synthetic fixture
+    monkeypatch.setitem(
+        mvsec_mod.VALID_TIME_INDEX, "indoor_flying1", [(3, 8)]
+    )
+    _write_mvsec_sequence(root, "indoor_flying1", (2, 14))
+
+    class SmallMvsec(MvsecEventFlow):
+        image_width = 40
+        image_height = 32
+
+    class SmallMvsecDt4(MvsecEventFlow_dt4):
+        image_width = 40
+        image_height = 32
+
+    ds = SmallMvsec(root, "indoor_flying1", train=False)
+    assert len(ds) == 5
+    s = ds[0]
+    # val center-crops to 256 in the real protocol; with tiny frames the
+    # crop is a no-op beyond bounds, so just check structural keys
+    assert s["event_volume_old"].shape[-1] == 5
+    assert "event_valid" in s and "valid" in s
+
+    ds4 = SmallMvsecDt4(root, "indoor_flying1", train=False)
+    s4 = ds4[0]
+    assert s4["event_volume_old"].shape[-1] == 5
+    # dt4 concatenates 4 intervals → denser grids than dt1 on average
+    assert np.abs(s4["event_volume_old"]).sum() > 0

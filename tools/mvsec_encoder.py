@@ -32,7 +32,9 @@ from eemflow_tpu.data.gt_flow import estimate_corresponding_gt_flow  # noqa: E40
 
 def encode_events(data_h5: str, out_dir: str, dt: int) -> None:
     import h5py
-    import pandas as pd
+    import numpy as np
+
+    from eemflow_tpu.events.io import write_events_h5
 
     os.makedirs(out_dir, exist_ok=True)
     with h5py.File(data_h5, "r") as f:
@@ -47,10 +49,11 @@ def encode_events(data_h5: str, out_dir: str, dt: int) -> None:
         lo = int(inds[i - 1])
         hi = int(inds[i + dt - 1])
         sl = events[lo:hi]
-        df = pd.DataFrame(
-            {"ts": sl[:, 2], "x": sl[:, 0], "y": sl[:, 1], "p": sl[:, 3]}
+        # [ts, x, y, p] column order (readable by events.io.read_events_h5;
+        # pandas-HDF5 output is not used — pytables-free)
+        write_events_h5(
+            np.stack([sl[:, 2], sl[:, 0], sl[:, 1], sl[:, 3]], axis=1), out_path
         )
-        df.to_hdf(out_path, key="myDataset", mode="w")
         if i % 200 == 0:
             print(f"events {i}/{n_frames}", flush=True)
 
