@@ -82,3 +82,45 @@ def test_dsec_flow_16bit_roundtrip():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_unsup_losses():
+    import jax
+
+    from eemflow_tpu.train.unsup_loss import (
+        census_loss,
+        edge_aware_smoothness_1st,
+        edge_aware_smoothness_2nd,
+        photo_loss,
+        weighted_ssim,
+    )
+
+    img = jnp.asarray(RNG.random((1, 16, 16, 3)), jnp.float32)
+    flow = jnp.asarray(RNG.standard_normal((1, 16, 16, 2)), jnp.float32)
+    mask = jnp.ones((1, 16, 16, 1), jnp.float32)
+
+    # identical images → SSIM distance ~0
+    d, _ = weighted_ssim(img, img, mask)
+    assert float(jnp.abs(d).max()) < 1e-4
+    d2, _ = weighted_ssim(img, img * 0.5 + 0.2, mask)
+    assert float(jnp.mean(d2)) > float(jnp.mean(d))
+
+    # constant flow → zero smoothness penalty
+    s1 = edge_aware_smoothness_1st(img, jnp.ones_like(flow))
+    assert float(s1) < 1e-7
+    assert float(edge_aware_smoothness_1st(img, flow)) > 0
+    assert float(edge_aware_smoothness_2nd(img, flow)) > 0
+
+    p = photo_loss(img - img, mask)
+    p2 = photo_loss(img - (img + 1.0), mask)
+    assert float(p2) > float(p)
+    assert float(photo_loss(img - img, mask, "charbonnier")) >= 0
+
+    # census: identical images score lower than shifted ones
+    c_same = census_loss(img, img, mask)
+    c_diff = census_loss(img, jnp.roll(img, 3, axis=2), mask)
+    assert float(c_diff) > float(c_same)
+
+    # all differentiable
+    g = jax.grad(lambda f: edge_aware_smoothness_1st(img, f))(flow)
+    assert np.isfinite(np.asarray(g)).all()
