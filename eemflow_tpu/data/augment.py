@@ -74,6 +74,28 @@ class FlowAugmentor:
         sl = np.s_[y0 : y0 + self.crop_size[0], x0 : x0 + self.crop_size[1]]
         return [im[sl] for im in imgs], flow[sl]
 
+    def draw_flips(self, flow):
+        """Raw-event (device-voxelize) mode: draw the h/v flip decisions,
+        apply them to the *label* only, and return the flags so the grid
+        flips run on device (``data.device_input.flip_batch``).  Uses the
+        same rng draw order as ``_flips`` so host/device paths agree for a
+        given seed."""
+        fh = fv = False
+        if self.do_flip:
+            if self.rng.random() < self.h_flip_prob:
+                fh = True
+                flow = flow[:, ::-1] * [-1.0, 1.0]
+            if self.rng.random() < self.v_flip_prob:
+                fv = True
+                flow = flow[::-1, :] * [1.0, -1.0]
+        return np.ascontiguousarray(flow), fh, fv
+
+    def draw_crop(self, height, width):
+        """Draw a random crop offset for the full frame (device-side crop)."""
+        y0 = int(self.rng.integers(0, height - self.crop_size[0]))
+        x0 = int(self.rng.integers(0, width - self.crop_size[1]))
+        return y0, x0
+
     def __call__(self, img1, img2, flow, without_resize=False):
         if without_resize:
             (img1, img2), flow = self._flips([img1, img2], flow)

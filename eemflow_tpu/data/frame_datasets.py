@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from eemflow_tpu.data.augment import FlowAugmentor
-from eemflow_tpu.events.io import read_flo
+from eemflow_tpu.events.io import read_flow_any
 
 
 def read_image(path: str) -> np.ndarray:
@@ -57,7 +57,7 @@ class FlowDataset:
         if self.sparse:
             flow, valid = read_flow_kitti(self.flow_list[idx])
         else:
-            flow = read_flo(self.flow_list[idx])
+            flow = read_flow_any(self.flow_list[idx])  # .flo or Things .pfm
             valid = None
         img1 = read_image(self.image_list[idx][0])
         img2 = read_image(self.image_list[idx][1])

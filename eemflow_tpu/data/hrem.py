@@ -55,6 +55,8 @@ class HREMEventFlow:
         eval_type: str = "dense",
         mesh_size: int = 16,
         rng: Optional[np.random.Generator] = None,
+        raw_events: bool = False,
+        bucket_size: int = 1 << 18,
     ):
         self.root = root
         self.dt = dt
@@ -65,6 +67,14 @@ class HREMEventFlow:
         self.augmentor = (
             FlowAugmentor(**aug_params, rng=rng) if aug_params is not None else None
         )
+        # raw-events mode: emit padded event buffers for device-side
+        # voxelization (data.device_input) instead of host voxel grids
+        self.raw_events = raw_events
+        self.bucket_size = bucket_size
+        if raw_events:
+            from eemflow_tpu.data.device_input import EventOverflowCounter
+
+            self.overflow = EventOverflowCounter(f"HREM[{dt}]")
         self._scan()
 
     def _scan_dir(self, d: str) -> List[Dict[str, str]]:
@@ -110,26 +120,58 @@ class HREMEventFlow:
         )
         return grid.transpose(1, 2, 0)  # [H, W, bins]
 
+    def _raw(self, path: str):
+        """Read + pad raw events for device-side voxelization."""
+        from eemflow_tpu.events.voxel import pad_events
+
+        events = read_compressed_events(path)
+        seq = EventSequence(
+            events,
+            height=self.image_height,
+            width=self.image_width,
+            timestamp_multiplier=1e6,
+            convert_to_relative=True,
+        )
+        padded, n, dropped = pad_events(seq.features, self.bucket_size)
+        self.overflow.update(len(seq.features), dropped)
+        return padded, np.int32(n)
+
     def get_sample(self, idx: int) -> Dict[str, np.ndarray]:
         rec = self.data_ls[idx]
         fflow = read_flo(rec["fflow"])  # [H, W, 2]
         x_mesh, y_mesh = motion_propagate(fflow, mesh_size=self.mesh_size)
         meshflow = np.stack([x_mesh, y_mesh], axis=-1).astype(np.float32)
 
-        ev_old = self._voxelize(rec["event0"])
-        ev_new = self._voxelize(rec["event1"])
-        return {
+        sample = {
             "names": rec["names"],
             "flow": meshflow,  # [mesh, mesh, 2]
             "fflow": fflow,  # [H, W, 2]
-            "event_volume_old": ev_old,
-            "event_volume_new": ev_new,
-            "event_valid": ev_old.sum(axis=-1, keepdims=True),  # [H, W, 1]
         }
+        if self.raw_events:
+            sample["events_old"], sample["n_old"] = self._raw(rec["event0"])
+            sample["events_new"], sample["n_new"] = self._raw(rec["event1"])
+        else:
+            ev_old = self._voxelize(rec["event0"])
+            sample["event_volume_old"] = ev_old
+            sample["event_volume_new"] = self._voxelize(rec["event1"])
+            sample["event_valid"] = ev_old.sum(axis=-1, keepdims=True)  # [H, W, 1]
+        return sample
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         sample = self.get_sample(idx % len(self))
-        if self.type == "train":
+        if self.type == "train" and self.raw_events:
+            # flips drawn on host (label transformed here), grids flipped on
+            # device inside the jitted step (data.device_input)
+            flow = sample["flow"]
+            if self.augmentor is not None:
+                flow, fh, fv = self.augmentor.draw_flips(flow)
+            else:
+                fh = fv = False
+            sample["flow"] = flow
+            sample["flip_h"] = np.bool_(fh)
+            sample["flip_v"] = np.bool_(fv)
+            sample["valid"] = np.ones(flow.shape[:2], np.float32)
+        elif self.type == "train":
             ev1, ev2, flow = sample["event_volume_old"], sample["event_volume_new"], sample["flow"]
             if self.augmentor is not None:
                 ev1, ev2, flow = self.augmentor(ev1, ev2, flow, without_resize=True)

@@ -23,7 +23,7 @@ def collate(samples) -> Dict[str, np.ndarray]:
         v0 = samples[0][k]
         if isinstance(v0, np.ndarray):
             out[k] = np.stack([s[k] for s in samples])
-        elif isinstance(v0, (int, float, np.integer, np.floating)):
+        elif isinstance(v0, (int, float, bool, np.integer, np.floating, np.bool_)):
             out[k] = np.asarray([s[k] for s in samples])
         else:
             out[k] = [s[k] for s in samples]  # e.g. names
@@ -37,13 +37,21 @@ def batch_iterator(
     drop_last: bool = True,
     seed: int = 0,
     epochs: Optional[int] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """Batches of ``batch_size`` samples per process.  Multi-host: every
+    process draws the SAME shuffled order (same seed) and takes its
+    interleaved slice, so global batches partition the dataset
+    (``parallel.mesh.shard_batch`` assembles the global array)."""
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = np.arange(len(dataset))
         if shuffle:
             rng.shuffle(order)
+        if process_count > 1:
+            order = order[process_index::process_count]
         for i in range(0, len(order), batch_size):
             idx = order[i : i + batch_size]
             if drop_last and len(idx) < batch_size:

@@ -61,12 +61,34 @@ class MvsecEventFlow:
         aug_params: Optional[dict] = None,
         flowgt_dirname: str = "flowgt_dt1",
         rng: Optional[np.random.Generator] = None,
+        raw_events: bool = False,
+        bucket_size: int = 1 << 17,
+        with_dense: bool = False,
+        time_stack: bool = False,
     ):
+        # with_dense: also emit d_event_volume_old/new (the reference MVSEC
+        # loader mirrors the volumes, MVSEC.py:129-130; the dense/sparse
+        # unite trainers consume them), augmented jointly.
+        # time_stack: emit 'event_volume' [H, W, C, T] with one voxel grid
+        # per frame interval — the STE/spike single-volume contract
+        # (reference TrainSteRaft; its own loader is absent from the
+        # reference snapshot, SURVEY §2.12).
+        self.with_dense = with_dense
+        self.time_stack = time_stack
         self.root = root
         self.type = "train" if train else "val"
         self.num_bins = num_bins
         self.evaluation_type = eval_type
         self.flowgt_dirname = flowgt_dirname
+        # raw-events mode: device-side voxelization (data.device_input).
+        # Train raw mode applies flips only — the scale/stretch resize
+        # branch needs host cv2 and stays on the host path.
+        self.raw_events = raw_events
+        self.bucket_size = bucket_size
+        if raw_events:
+            from eemflow_tpu.data.device_input import EventOverflowCounter
+
+            self.overflow = EventOverflowCounter("MVSEC")
         if aug_params is not None:
             self.augmentor = FlowAugmentor(**aug_params, rng=rng)
             self.dense_augmentor = DenseSparseAugmentor(**aug_params, rng=rng)
@@ -142,26 +164,77 @@ class MvsecEventFlow:
         seq_old = self._event_sequence(old_paths)
         seq_new = self._event_sequence(new_paths)
 
-        sample = {
-            "idx": self.names[idx],
-            "flow": flow,
-            "event_volume_old": self._voxelize(seq_old),
-            "event_volume_new": self._voxelize(seq_new),
-        }
+        sample = {"idx": self.names[idx], "flow": flow}
+        if self.raw_events:
+            from eemflow_tpu.events.voxel import pad_events
+
+            for key, seq in (("old", seq_old), ("new", seq_new)):
+                padded, n, dropped = pad_events(seq.features, self.bucket_size)
+                self.overflow.update(len(seq.features), dropped)
+                sample[f"events_{key}"] = padded
+                sample[f"n_{key}"] = np.int32(n)
+        else:
+            sample["event_volume_old"] = self._voxelize(seq_old)
+            sample["event_volume_new"] = self._voxelize(seq_new)
+            if self.with_dense:
+                # reference MVSEC.py:129-130 mirrors the volumes
+                sample["d_event_volume_old"] = sample["event_volume_old"].copy()
+                sample["d_event_volume_new"] = sample["event_volume_new"].copy()
+            if self.time_stack:
+                # one grid per frame interval, trailing time axis
+                grids = [
+                    self._voxelize(self._event_sequence([p])) for p in old_paths
+                ]
+                sample["event_volume"] = np.stack(grids, axis=-1)
         if self.type == "val":
             sample["event_valid"] = self._event_mask(seq_old)
         return sample
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         sample = self.get_sample(idx % len(self))
-        if self.type == "train":
+        if self.type == "train" and self.raw_events:
+            flow = sample["flow"]
+            if self.augmentor is not None:
+                flow, fh, fv = self.augmentor.draw_flips(flow)
+            else:
+                fh = fv = False
+            valid = np.isfinite(flow).all(-1) & (np.linalg.norm(flow, axis=-1) > 0)
+            sample["flow"] = flow
+            sample["valid"] = valid.astype(np.float32)
+            sample["flip_h"] = np.bool_(fh)
+            sample["flip_v"] = np.bool_(fv)
+        elif self.type == "train":
             ev1, ev2, flow = (
                 sample["event_volume_old"],
                 sample["event_volume_new"],
                 sample["flow"],
             )
-            if self.augmentor is not None:
-                ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
+            if self.with_dense and self.dense_augmentor is not None:
+                # joint sparse+dense augmentation (reference MVSEC.py:161-173)
+                ev1, ev2, d1, d2, flow = self.dense_augmentor(
+                    ev1, ev2,
+                    sample["d_event_volume_old"], sample["d_event_volume_new"],
+                    flow,
+                )
+                sample["d_event_volume_old"] = d1
+                sample["d_event_volume_new"] = d2
+            elif self.augmentor is not None:
+                if self.time_stack:
+                    # fold the [H,W,C,T] stack into ev1's channels so the
+                    # whole sample sees identical augmentation draws
+                    vol = sample["event_volume"]
+                    Hc, Wc, C, T = vol.shape
+                    ev1 = np.concatenate(
+                        [ev1, vol.reshape(Hc, Wc, C * T)], axis=-1
+                    )
+                    ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
+                    nb = self.num_bins
+                    sample["event_volume"] = ev1[..., nb:].reshape(
+                        ev1.shape[0], ev1.shape[1], C, T
+                    )
+                    ev1 = ev1[..., :nb]
+                else:
+                    ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
             valid = np.isfinite(flow).all(-1) & (np.linalg.norm(flow, axis=-1) > 0)
             sample["event_volume_old"] = ev1
             sample["event_volume_new"] = ev2
@@ -173,8 +246,14 @@ class MvsecEventFlow:
                 (np.abs(sample["flow"][..., 0]) < 1000)
                 & (np.abs(sample["flow"][..., 1]) < 1000)
             ).astype(np.float32)
-            sample["event_volume_old"] = center_crop(sample["event_volume_old"])
-            sample["event_volume_new"] = center_crop(sample["event_volume_new"])
+            if not self.raw_events:
+                # raw mode: the device preprocess center-crops the grids
+                # (make_device_preprocess(crop_size=(256, 256)))
+                for k in ("event_volume_old", "event_volume_new",
+                          "d_event_volume_old", "d_event_volume_new",
+                          "event_volume"):
+                    if k in sample:
+                        sample[k] = center_crop(sample[k])
             sample["event_valid"] = center_crop(sample["event_valid"])
         return sample
 

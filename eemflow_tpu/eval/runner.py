@@ -21,8 +21,20 @@ import numpy as np
 
 from eemflow_tpu.eval.metrics import flow_error
 
+# sample keys a forward pass may consume (family inputs + raw-event mode)
+_INPUT_KEYS = (
+    "event_volume_old", "event_volume_new", "event_volume", "image1",
+    "event_raw", "d_event_volume_old", "d_event_volume_new",
+    "events_old", "events_new", "n_old", "n_new",
+)
+
 
 class Tester:
+    """Evaluation engine.  ``family`` selects the model's input contract
+    (reference tester subclasses ``TestRaftEvents``/``TestSteRaft``/
+    ``TestDCEI``/..., see ``train.adapters``); ``preprocess`` (if given)
+    runs inside the jitted forward — the device-side voxelization path."""
+
     def __init__(
         self,
         model,
@@ -31,16 +43,33 @@ class Tester:
         save_path: Optional[str] = None,
         save_csv: bool = False,
         is_car: bool = False,
+        family="two_volume",
+        preprocess=None,
+        mixed_precision: bool = False,
     ):
+        from eemflow_tpu.train.adapters import get_family
+        from eemflow_tpu.train.trainer import cast_floating
+
         self.model = model
         self.variables = variables
         self.logger = logger
         self.save_path = save_path
         self.save_csv = save_csv
         self.is_car = is_car
-        self._fwd = jax.jit(
-            lambda v, e1, e2: self.model.apply(v, e1, e2)[1][-1]
-        )
+        fam = get_family(family)
+        self.family = fam
+
+        def fwd(v, batch):
+            if preprocess is not None:
+                batch = preprocess(batch)
+            args = fam.model_args(batch)
+            if mixed_precision:
+                v = cast_floating(v, jnp.bfloat16)
+                args = cast_floating(args, jnp.bfloat16)
+            out = fam.flow_est(self.model.apply(v, *args))
+            return out.astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
 
     def _log(self, line: str) -> None:
         if self.logger is not None:
@@ -48,12 +77,21 @@ class Tester:
         else:
             print(line, flush=True)
 
+    def run_sample(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
+        """Single sample dict → flow [H, W, 2] (adds the batch dim)."""
+        batch = {
+            k: jnp.asarray(sample[k])[None]
+            for k in _INPUT_KEYS
+            if k in sample and sample[k] is not None
+        }
+        return np.asarray(self._fwd(self.variables, batch)[0])
+
     def run_network(self, ev1: np.ndarray, ev2: np.ndarray) -> np.ndarray:
-        """ev1/ev2: [H, W, C] single sample → flow [H, W, 2]."""
-        out = self._fwd(
-            self.variables, jnp.asarray(ev1)[None], jnp.asarray(ev2)[None]
+        """ev1/ev2: [H, W, C] single sample → flow [H, W, 2]
+        (two-volume convenience wrapper)."""
+        return self.run_sample(
+            {"event_volume_old": ev1, "event_volume_new": ev2}
         )
-        return np.asarray(out[0])
 
     def test_sequence(
         self, dataset, stride: int = 1, max_samples: Optional[int] = None
@@ -68,9 +106,7 @@ class Tester:
             if idx % stride:
                 continue
             sample = dataset[idx]
-            flow_est = self.run_network(
-                sample["event_volume_old"], sample["event_volume_new"]
-            )
+            flow_est = self.run_sample(sample)
             ev_img = np.asarray(sample.get("event_valid"))
             ev_img = np.squeeze(ev_img) if ev_img is not None else None
             aee, p1, p3, n, _, _, _ = flow_error(
@@ -148,9 +184,7 @@ class ResearchTester(Tester):
             if idx % stride:
                 continue
             sample = dataset[idx]
-            flow_est = self.run_network(
-                sample["event_volume_old"], sample["event_volume_new"]
-            )
+            flow_est = self.run_sample(sample)
             write_flo(flow_est, os.path.join(out_dir, f"{idx:06d}.flo"))
             try:
                 import cv2
@@ -178,9 +212,7 @@ class ResearchTester(Tester):
             if idx % stride:
                 continue
             sample = dataset[idx]
-            flow_est = self.run_network(
-                sample["event_volume_old"], sample["event_volume_new"]
-            )
+            flow_est = self.run_sample(sample)
             aee, *_ = flow_error(
                 np.asarray(sample["flow"]), flow_est,
                 event_img=np.squeeze(np.asarray(sample.get("event_valid")))
@@ -222,9 +254,7 @@ class ResearchTester(Tester):
             if idx % stride:
                 continue
             sample = dataset[idx]
-            flow_est = self.run_network(
-                sample["event_volume_old"], sample["event_volume_new"]
-            )
+            flow_est = self.run_sample(sample)
             ev2 = np.asarray(sample["event_volume_new"]).sum(-1, keepdims=True)
             warped = np.asarray(
                 backwarp(jnp.asarray(ev2)[None], jnp.asarray(flow_est)[None])
@@ -262,7 +292,7 @@ class ResearchTester(Tester):
             sample = dataset[idx]
             ev = np.asarray(sample["event_volume_old"])
             density = float((np.abs(ev).sum(-1) > 0).mean())
-            flow_est = self.run_network(ev, sample["event_volume_new"])
+            flow_est = self.run_sample(sample)
             aee, *_ = flow_error(
                 np.asarray(sample["flow"]), flow_est,
                 event_img=np.squeeze(np.asarray(sample.get("event_valid")))

@@ -79,3 +79,49 @@ def write_flo(flow: np.ndarray, flow_path: str) -> None:
 def read_flow_npy(path: str) -> np.ndarray:
     """GT flow .npy as produced by the MVSEC encoder ([2,H,W] or [H,W,2])."""
     return np.load(path)
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """PFM image reader (reference ``utils_luo/tools.py:2771-2808`` readPFM):
+    'PF' = 3-channel, 'Pf' = 1-channel; negative scale ⇒ little-endian;
+    rows stored bottom-up (flipped on read).  FlyingThings3D flow files are
+    'PF' with the third channel unused."""
+    import re
+
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            color = True
+        elif header == b"Pf":
+            color = False
+        else:
+            raise ValueError(f"Not a PFM file: {path}")
+        dim_match = re.match(rb"^(\d+)\s(\d+)\s*$", f.readline())
+        if not dim_match:
+            raise ValueError(f"Malformed PFM header: {path}")
+        width, height = map(int, dim_match.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape))
+
+
+def write_pfm(image: np.ndarray, path: str, scale: float = 1.0) -> None:
+    """Write a 1- or 3-channel float image as little-endian PFM."""
+    image = np.asarray(image, np.float32)
+    color = image.ndim == 3 and image.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
+        f.write(f"{-abs(scale)}\n".encode())
+        np.flipud(image).tofile(f)
+
+
+def read_flow_any(path: str) -> np.ndarray:
+    """Flow reader dispatching by extension (.flo Middlebury, .pfm
+    FlyingThings3D — third channel dropped, RAFT ``read_gen`` convention)."""
+    if path.endswith(".pfm"):
+        flow = read_pfm(path).astype(np.float32)
+        return flow if flow.ndim == 2 else np.ascontiguousarray(flow[:, :, :2])
+    return read_flo(path)

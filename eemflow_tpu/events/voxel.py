@@ -28,17 +28,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pad_events(events: np.ndarray, bucket_size: int) -> tuple[np.ndarray, int]:
+def pad_events(
+    events: np.ndarray, bucket_size: int
+) -> tuple[np.ndarray, int, int]:
     """Pad/truncate an [N,4] float event array to [bucket_size, 4].
 
-    Returns (padded_events float32, n_valid).  Events must be time-sorted;
-    timestamps should already be relative (float64 upstream) so float32 is
-    precise enough.
+    Returns (padded_events float32, n_valid, n_dropped).  ``n_dropped > 0``
+    means the bucket is too small and the voxel grid will silently lose
+    events — callers must surface it (the production loaders count and
+    warn; see ``data.device_input.EventOverflowCounter``).  Events must be
+    time-sorted; timestamps should already be relative (float64 upstream)
+    so float32 is precise enough.
     """
     n = min(len(events), bucket_size)
     out = np.zeros((bucket_size, 4), dtype=np.float32)
     out[:n] = events[:n]
-    return out, n
+    return out, n, len(events) - n
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "height", "width", "normalize"))
@@ -176,3 +181,40 @@ def events_to_voxel_grid_batch(
     a fixed bucket and the scatter-add runs vmapped on device."""
     fn = lambda e, n: events_to_voxel_grid(e, n, num_bins, height, width, normalize)
     return jax.vmap(fn)(events, n_valid)
+
+
+def voxelize_batch_nhwc(
+    events: jax.Array,
+    n_valid: jax.Array,
+    num_bins: int,
+    height: int,
+    width: int,
+    normalize: bool = True,
+) -> jax.Array:
+    """[B, N, 4] + [B] → [B, H, W, bins] (NHWC, the model input layout).
+
+    Unjitted on purpose: it is called *inside* the jitted train/eval step
+    (``data.device_input.make_device_preprocess``) so voxelization fuses
+    into the step executable."""
+    fn = lambda e, n: events_to_voxel_grid(
+        e, n, num_bins, height, width, normalize
+    ).transpose(1, 2, 0)
+    return jax.vmap(fn)(events, n_valid)
+
+
+def events_to_mask(
+    events: jax.Array, n_valid: jax.Array, height: int, width: int
+) -> jax.Array:
+    """[N, 4] + count → [H, W, 1] float 0/1 event-presence mask — the
+    device twin of the reference's coordinate histogram
+    (``loader/MVSEC.py:132-142``, sparse-eval mask)."""
+    N = events.shape[0]
+    valid = jnp.arange(N) < n_valid
+    xs = events[:, 1].astype(jnp.int32)
+    ys = events[:, 2].astype(jnp.int32)
+    inb = valid & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    idx = jnp.where(inb, xs + ys * width, 0)
+    val = inb.astype(jnp.float32)
+    # masked events scatter val 0.0 into cell 0 — no contamination
+    hist = jnp.zeros((height * width,), jnp.float32).at[idx].add(val)
+    return (hist > 0).astype(jnp.float32).reshape(height, width, 1)

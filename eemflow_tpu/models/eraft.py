@@ -105,10 +105,12 @@ def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
     def body(mdl, carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = lookup_corr_pyramid(pyramid, coords1, radius)
-        flow = coords1 - coords0
+        # corr values are looked up in fp32 (parity-sensitive); the GRU runs
+        # at the carry dtype so bf16 mixed precision stays bf16 in-loop
+        corr = lookup_corr_pyramid(pyramid, coords1, radius).astype(net.dtype)
+        flow = (coords1 - coords0).astype(net.dtype)
         net, up_mask, delta_flow = mdl(net, inp, corr, flow)
-        coords1 = coords1 + delta_flow
+        coords1 = coords1 + delta_flow.astype(coords1.dtype)
         flow_up = convex_upsample_flow(coords1 - coords0, up_mask)
         return (net, coords1), flow_up
 

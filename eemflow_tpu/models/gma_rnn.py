@@ -73,8 +73,8 @@ class RAFTGMA_RNN(nn.Module):
             coords1 = coords0
             for _ in range(n_iters):
                 coords1 = jax.lax.stop_gradient(coords1)
-                corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
-                flow = coords1 - coords0
+                corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius).astype(net.dtype)
+                flow = (coords1 - coords0).astype(net.dtype)
                 net, up_mask, delta = update_block(net, inp, corr, flow, attention)
                 coords1 = coords1 + delta
                 all_preds.append(

@@ -47,14 +47,17 @@ class FeatureExtractor(nn.Module):
 
 
 class FlowEstimatorDense(nn.Module):
-    """Densely connected estimator (reference pwc_modules.py:157-175)."""
+    """Densely connected estimator (reference pwc_modules.py:157-175;
+    out_ch=1 gives OccEstimatorDense, pwc_modules.py:190-208)."""
+
+    out_ch: int = 2
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate((128, 128, 96, 64, 32)):
             y = ConvRelu(f, name=f"conv{i + 1}")(x)
             x = jnp.concatenate([y, x], axis=-1)
-        out = conv2d(2, 3, 1, name="conv_last_0")(x)
+        out = conv2d(self.out_ch, 3, 1, name="conv_last_0")(x)
         return x, out
 
 
@@ -157,3 +160,237 @@ class PWCNet(nn.Module):
                 break
 
         return (events1, events2), preds
+
+
+def _unfold3x3(x: jax.Array) -> jax.Array:
+    """[B, H, W, 1] → [B, H, W, 9] 3×3 neighborhoods, replicate-padded
+    (torch ReplicationPad2d + Unfold, reference irr_modules.py:70-103)."""
+    xp = jnp.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)), mode="edge")
+    shifts = [
+        xp[:, dy : dy + x.shape[1], dx : dx + x.shape[2]]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    return jnp.stack(shifts, axis=-1)
+
+
+class RefineKernel(nn.Module):
+    """Core of RefineFlow/RefineOcc (reference irr_modules.py:64-137):
+    a conv stack predicts 9 per-pixel kernel logits; output channels are the
+    softmax(-feat²)-weighted 3×3 neighborhood average of each input channel."""
+
+    @nn.compact
+    def __call__(self, target: jax.Array, feat_in: jax.Array) -> jax.Array:
+        x = feat_in
+        for i, f in enumerate((128, 128, 64, 64, 32, 32)):
+            x = ConvRelu(f, name=f"convs_{i}")(x)
+        feat = conv2d(9, 3, 1, name="convs_6_0")(x)
+        kernel = jax.nn.softmax(-(feat**2), axis=-1)
+        outs = [
+            jnp.sum(_unfold3x3(target[..., c : c + 1]) * kernel, axis=-1)
+            for c in range(target.shape[-1])
+        ]
+        return jnp.stack(outs, axis=-1)
+
+
+class RefineFlow(nn.Module):
+    """Kernel-refine flow: feat = [flow − mean(flow), ‖diff_img‖₂, feature]
+    (reference irr_modules.py:64-103)."""
+
+    @nn.compact
+    def __call__(self, flow, diff_img, feature):
+        flow_m = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
+        norm2 = jnp.linalg.norm(diff_img, axis=-1, keepdims=True)
+        feat_in = jnp.concatenate([flow_m, norm2, feature], axis=-1)
+        return RefineKernel(name="kernel")(flow, feat_in)
+
+
+class RefineOcc(nn.Module):
+    """Kernel-refine occlusion: feat = [occ, feat1, feat2]
+    (reference irr_modules.py:106-137)."""
+
+    @nn.compact
+    def __call__(self, occ, feat1, feat2):
+        feat_in = jnp.concatenate([occ, feat1, feat2], axis=-1)
+        return RefineKernel(name="kernel")(occ, feat_in)
+
+
+class OccUpsampleNetwork(nn.Module):
+    """Occlusion shuffle-upsample (reference irr_modules.py:30-57): nearest
+    ×2 upsample of occ, residual conv refinement with 0.1-scaled res blocks."""
+
+    feat_dim: int = 32
+
+    @nn.compact
+    def __call__(self, occ: jax.Array, x: jax.Array) -> jax.Array:
+        occ = jax.image.resize(
+            occ, (occ.shape[0], occ.shape[1] * 2, occ.shape[2] * 2, occ.shape[3]),
+            method="nearest",
+        )
+        if occ.shape[1:3] != x.shape[1:3]:
+            occ = resize_bilinear(occ, x.shape[1:3], align_corners=False)
+        h = ConvRelu(self.feat_dim, name="init_conv_0")(
+            jnp.concatenate([occ, x], axis=-1)
+        )
+        res1 = ConvRelu(self.feat_dim, name="res_convs_0")
+        res2 = conv2d(self.feat_dim, 3, 1, name="res_convs_1_0")
+        r = h
+        for _ in range(3):
+            r = r + res2(res1(r)) * 0.1
+        h = h + ConvRelu(self.feat_dim, name="res_end_conv_0")(r)
+        return ConvRelu(1, name="out_convs_0")(h) + occ
+
+
+class IRRPWCOcc(nn.Module):
+    """IRR-PWC with bi-directional flow + occlusion decoding (reference
+    ``model/IRRPWC/IRR_PWC.py:14-198``): per level, forward AND backward
+    flow/occlusion are estimated with SHARED estimators, refined by
+    kernel-prediction modules on warped-image differences, and the occlusion
+    maps are shuffle-upsampled through the remaining fine levels.
+
+    Returned contract: maps = (occ_f, occ_b) at the finest refined level;
+    preds = forward-flow predictions coarse→fine (full-res, ÷div_flow).
+    Deviation (documented): the reference's final upsample level feeds the
+    5-channel raw input where an 11-channel occ-upsample input is required —
+    a latent crash in its dead code (IRR_PWC.py:171-186); we apply the 1×1
+    reducer at every post-output level instead."""
+
+    n_first_channels: int = 5
+    div_flow: float = 0.05
+    search_range: int = 4
+    output_level: int = 4
+
+    @nn.compact
+    def __call__(self, events1, events2, train: bool = False):
+        B, H, W, _ = events1.shape
+        num_chs = (self.n_first_channels, 16, 32, 64, 96, 128, 196)
+        fe = FeatureExtractor(num_chs, name="feature_pyramid_extractor")
+        x1_pyr = fe(events1) + [events1]
+        x2_pyr = fe(events2) + [events2]
+
+        estimator = FlowEstimatorDense(2, name="flow_estimators")
+        context = ContextNetwork(2, name="context_networks")
+        occ_estimator = FlowEstimatorDense(1, name="occ_estimators")
+        occ_context = ContextNetwork(1, name="occ_context_networks")
+        occ_upsample = OccUpsampleNetwork(name="occ_shuffle_upsample")
+        refine_flow = RefineFlow(name="refine_flow")
+        refine_occ = RefineOcc(name="refine_occ")
+        conv1x1 = [
+            ConvRelu(32, kernel_size=1, padding=0, name=f"conv_1x1_{l}")
+            for l in range(4)
+        ]
+        # one reducer per post-output level: the reference shares conv_1x1_1
+        # across levels with different input widths (16 then raw 5) — a
+        # latent shape crash in its dead code; we give each level its own
+        conv1x1_fines = [
+            ConvRelu(3, kernel_size=1, padding=0, name=f"conv_1x1_fine_{i}")
+            # pyramid has len(num_chs)-1 conv levels + the raw input
+            for i in range(len(num_chs) - self.output_level - 1)
+        ]
+
+        h0, w0 = x1_pyr[0].shape[1:3]
+        flow_f = jnp.zeros((B, h0, w0, 2), events1.dtype)
+        flow_b = jnp.zeros_like(flow_f)
+        occ_f = jnp.zeros((B, h0, w0, 1), events1.dtype)
+        occ_b = jnp.zeros_like(occ_f)
+
+        preds = []
+        for l, (x1, x2) in enumerate(zip(x1_pyr, x2_pyr)):
+            if l <= self.output_level:
+                if l > 0:
+                    flow_f = resize_bilinear(flow_f, x1.shape[1:3], align_corners=True)
+                    flow_b = resize_bilinear(flow_b, x2.shape[1:3], align_corners=True)
+                    occ_f = resize_bilinear(occ_f, x1.shape[1:3], align_corners=True)
+                    occ_b = resize_bilinear(occ_b, x2.shape[1:3], align_corners=True)
+                    x2_warp = pwc_warp(x2, flow_f, H, W, self.div_flow)
+                    x1_warp = pwc_warp(x1, flow_b, H, W, self.div_flow)
+                else:
+                    x2_warp, x1_warp = x2, x1
+
+                corr_f = leaky_relu01(local_correlation(x1, x2_warp, self.search_range))
+                corr_b = leaky_relu01(local_correlation(x2, x1_warp, self.search_range))
+
+                x1_1 = conv1x1[l](x1) if l < len(conv1x1) else x1
+                x2_1 = conv1x1[l](x2) if l < len(conv1x1) else x2
+
+                flow_f = rescale_flow(flow_f, self.div_flow, W, H, to_local=True)
+                flow_b = rescale_flow(flow_b, self.div_flow, W, H, to_local=True)
+
+                xi_f, res_f = estimator(jnp.concatenate([corr_f, x1_1, flow_f], -1))
+                xi_b, res_b = estimator(jnp.concatenate([corr_b, x2_1, flow_b], -1))
+                flow_est_f = flow_f + res_f
+                flow_est_b = flow_b + res_b
+                flow_cont_f = flow_est_f + context(
+                    jnp.concatenate([xi_f, flow_est_f], -1)
+                )
+                flow_cont_b = flow_est_b + context(
+                    jnp.concatenate([xi_b, flow_est_b], -1)
+                )
+
+                xo_f, ores_f = occ_estimator(jnp.concatenate([corr_f, x1_1, occ_f], -1))
+                xo_b, ores_b = occ_estimator(jnp.concatenate([corr_b, x2_1, occ_b], -1))
+                occ_est_f = occ_f + ores_f
+                occ_est_b = occ_b + ores_b
+                occ_cont_f = occ_est_f + occ_context(
+                    jnp.concatenate([xo_f, occ_est_f], -1)
+                )
+                occ_cont_b = occ_est_b + occ_context(
+                    jnp.concatenate([xo_b, occ_est_b], -1)
+                )
+
+                # kernel refinement on warped-image differences
+                img1_r = resize_bilinear(events1, flow_f.shape[1:3], align_corners=True)
+                img2_r = resize_bilinear(events2, flow_b.shape[1:3], align_corners=True)
+                fl_cont_f_g = rescale_flow(flow_cont_f, self.div_flow, W, H, False)
+                fl_cont_b_g = rescale_flow(flow_cont_b, self.div_flow, W, H, False)
+                img2_warp = pwc_warp(img2_r, fl_cont_f_g, H, W, self.div_flow)
+                img1_warp = pwc_warp(img1_r, fl_cont_b_g, H, W, self.div_flow)
+
+                flow_f = refine_flow(
+                    jax.lax.stop_gradient(flow_cont_f), img1_r - img2_warp, x1_1
+                )
+                flow_b = refine_flow(
+                    jax.lax.stop_gradient(flow_cont_b), img2_r - img1_warp, x2_1
+                )
+                flow_f = rescale_flow(flow_f, self.div_flow, W, H, to_local=False)
+                flow_b = rescale_flow(flow_b, self.div_flow, W, H, to_local=False)
+
+                x2_1_warp = pwc_warp(x2_1, flow_f, H, W, self.div_flow)
+                x1_1_warp = pwc_warp(x1_1, flow_b, H, W, self.div_flow)
+                occ_f = refine_occ(
+                    jax.lax.stop_gradient(occ_cont_f), x1_1, x1_1 - x2_1_warp
+                )
+                occ_b = refine_occ(
+                    jax.lax.stop_gradient(occ_cont_b), x2_1, x2_1 - x1_1_warp
+                )
+
+                preds.append(
+                    resize_bilinear(flow_f, (H, W), align_corners=True)
+                    * (1.0 / self.div_flow)
+                )
+            else:
+                flow_f = resize_bilinear(flow_f, x1.shape[1:3], align_corners=True)
+                flow_b = resize_bilinear(flow_b, x2.shape[1:3], align_corners=True)
+                preds.append(
+                    resize_bilinear(flow_f, (H, W), align_corners=True)
+                    * (1.0 / self.div_flow)
+                )
+                x2_warp = pwc_warp(x2, flow_f, H, W, self.div_flow)
+                x1_warp = pwc_warp(x1, flow_b, H, W, self.div_flow)
+                flow_b_warp = pwc_warp(flow_b, flow_f, H, W, self.div_flow)
+                flow_f_warp = pwc_warp(flow_f, flow_b, H, W, self.div_flow)
+
+                reducer = conv1x1_fines[l - self.output_level - 1]
+                x1_in = reducer(x1)
+                x2_in = reducer(x2)
+                x1_w_in = reducer(x1_warp)
+                x2_w_in = reducer(x2_warp)
+
+                occ_f = occ_upsample(
+                    occ_f, jnp.concatenate([x1_in, x2_w_in, flow_f, flow_b_warp], -1)
+                )
+                occ_b = occ_upsample(
+                    occ_b, jnp.concatenate([x2_in, x1_w_in, flow_b, flow_f_warp], -1)
+                )
+
+        return (occ_f, occ_b), preds

@@ -218,8 +218,8 @@ class KPAFlow(nn.Module):
         def body(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, radius)
-            flow = coords1 - coords0
+            corr = lookup_corr_pyramid(pyramid, coords1, radius).astype(net.dtype)
+            flow = (coords1 - coords0).astype(net.dtype)
             net, delta = mdl(net, inp, corr, flow)
             coords1 = coords1 + delta
             return (net, coords1), upflow8(coords1 - coords0)

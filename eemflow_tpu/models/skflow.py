@@ -119,8 +119,8 @@ class SKFlow(nn.Module):
         def body(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, radius)
-            flow = coords1 - coords0
+            corr = lookup_corr_pyramid(pyramid, coords1, radius).astype(net.dtype)
+            flow = (coords1 - coords0).astype(net.dtype)
             net, up_mask, delta_flow = mdl(net, inp, corr, flow, attention)
             coords1 = coords1 + delta_flow
             flow_up = convex_upsample_flow(coords1 - coords0, up_mask)

@@ -54,10 +54,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a pytree of [B, ...] arrays with batch-axis sharding."""
+    """Put a pytree of [B, ...] arrays onto the mesh with batch-axis
+    sharding.  Single-host: a plain sharded device_put.  Multi-host (the
+    DCN upgrade path, SURVEY §2.7): each process holds its LOCAL batch
+    slice and the global array is assembled from per-process shards."""
     sh = NamedSharding(mesh, P("data"))
 
-    def put(x):
-        return jax.device_put(x, sh)
+    if jax.process_count() == 1:
+        def put(x):
+            return jax.device_put(x, sh)
+    else:
+        def put(x):
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def init_distributed() -> int:
+    """Multi-host entry: initialize the JAX distributed runtime when the
+    launcher provides coordination env vars (a no-op single-process).
+
+    The reference has no multi-node path at all (SURVEY §2.8 — single-
+    process DataParallel); here one JAX process per host joins a global
+    mesh whose 'data' axis spans hosts over DCN — gradient psums are
+    compiler-inserted, no comm backend code.  Returns process_count."""
+    import os
+
+    if jax.process_count() > 1:
+        return jax.process_count()  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    ) > 1:
+        jax.distributed.initialize()
+    return jax.process_count()

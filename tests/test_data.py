@@ -235,3 +235,62 @@ def test_mvsec_dataset_synthetic_dt1_dt4(tmp_path, monkeypatch):
     assert s4["event_volume_old"].shape[-1] == 5
     # dt4 concatenates 4 intervals → denser grids than dt1 on average
     assert np.abs(s4["event_volume_old"]).sum() > 0
+
+
+def test_batch_iterator_process_sharding():
+    """Multi-host readiness: per-process interleaved slices partition the
+    dataset; single-process init_distributed is a no-op."""
+    from eemflow_tpu.data.loader import batch_iterator
+    from eemflow_tpu.parallel.mesh import init_distributed
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    seen = []
+    for p in range(2):
+        it = batch_iterator(DS(), 2, shuffle=True, seed=3, epochs=1,
+                            process_index=p, process_count=2)
+        for b in it:
+            seen.extend(b["x"][:, 0].astype(int).tolist())
+    assert sorted(seen) == list(range(8))  # exact partition
+    assert init_distributed() == 1  # single-process no-op
+
+
+def test_mvsec_with_dense_and_time_stack(tmp_path, monkeypatch):
+    """with_dense mirrors volumes into d_ keys + joint augmentation
+    (reference MVSEC.py:129-130,161-173); time_stack emits the STE
+    [H,W,C,T] single-volume contract with consistent augmentation."""
+    from eemflow_tpu.data import mvsec as mvsec_mod
+    from eemflow_tpu.data.mvsec import MvsecEventFlow_dt4
+
+    root = str(tmp_path)
+    monkeypatch.setitem(mvsec_mod.VALID_TIME_INDEX, "indoor_flying1", [(3, 8)])
+    _write_mvsec_sequence(root, "indoor_flying1", (2, 14))
+
+    class SmallDt4(MvsecEventFlow_dt4):
+        image_width = 40
+        image_height = 32
+
+    aug = {"crop_size": [24, 32], "do_flip": True}
+    ds = SmallDt4(root, "indoor_flying1", train=True, with_dense=True,
+                  aug_params=aug, rng=np.random.default_rng(0))
+    s = ds[0]
+    assert s["d_event_volume_old"].shape == s["event_volume_old"].shape
+    assert s["event_volume_old"].shape[:2] == (24, 32)
+
+    ds2 = SmallDt4(root, "indoor_flying1", train=True, time_stack=True,
+                   aug_params=aug, rng=np.random.default_rng(0))
+    s2 = ds2[0]
+    assert s2["event_volume"].shape == (24, 32, 5, 4)
+    assert s2["event_volume_old"].shape == (24, 32, 5)
+
+    # eval mode carries the stack too, un-augmented
+    ds3 = SmallDt4(root, "indoor_flying1", train=False, time_stack=True,
+                   with_dense=True)
+    s3 = ds3[0]
+    assert s3["event_volume"].shape[-2:] == (5, 4)
+    assert "d_event_volume_new" in s3

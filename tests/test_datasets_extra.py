@@ -116,3 +116,51 @@ def test_research_tester_modes(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_pfm_roundtrip_and_things_synthetic(tmp_path):
+    """PFM reader (reference utils_luo/tools.py:2771 readPFM) + the
+    FlyingThings3D loader reading .pfm flow (VERDICT r1 weak #3)."""
+    import os
+
+    from eemflow_tpu.data.frame_datasets import FlyingThings3D
+    from eemflow_tpu.events.io import read_flow_any, read_pfm, write_pfm
+
+    rng = np.random.default_rng(0)
+    # 3-channel PF roundtrip
+    img3 = rng.standard_normal((6, 8, 3)).astype(np.float32)
+    p3 = str(tmp_path / "x.pfm")
+    write_pfm(img3, p3)
+    np.testing.assert_array_equal(read_pfm(p3), img3)
+    # 1-channel Pf roundtrip
+    img1 = rng.standard_normal((5, 7)).astype(np.float32)
+    p1 = str(tmp_path / "y.pfm")
+    write_pfm(img1, p1)
+    np.testing.assert_array_equal(read_pfm(p1), img1)
+    # flow dispatch drops the third channel
+    np.testing.assert_array_equal(read_flow_any(p3), img3[:, :, :2])
+
+    # synthetic Things layout: TRAIN/A/0000/{left}, optical_flow mirrors it
+    root = tmp_path / "things"
+    idir = root / "frames_cleanpass" / "TRAIN" / "A" / "0000" / "left"
+    fdir = root / "optical_flow" / "TRAIN" / "A" / "0000" / "into_future" / "left"
+    os.makedirs(idir)
+    os.makedirs(fdir)
+    from PIL import Image
+
+    h, w = 12, 16
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        ).save(idir / f"{i:04d}.png")
+    for i in range(3):
+        write_pfm(
+            rng.standard_normal((h, w, 3)).astype(np.float32),
+            str(fdir / f"OpticalFlowIntoFuture_{i:04d}_L.pfm"),
+        )
+    ds = FlyingThings3D(str(root))
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["flow"].shape == (h, w, 2)
+    assert s["event_volume_old"].shape == (h, w, 3)
+    assert np.isfinite(s["flow"]).all()

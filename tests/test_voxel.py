@@ -70,7 +70,7 @@ def test_voxel_parity(n, bins, h, w):
     got_np = events_to_voxel_grid_np(ev.copy(), bins, h, w)
     np.testing.assert_allclose(got_np, ref, atol=1e-4)
 
-    padded, n_valid = pad_events(ev, n + 128)
+    padded, n_valid, _ = pad_events(ev, n + 128)
     got_dev = events_to_voxel_grid(jnp.asarray(padded), jnp.asarray(n_valid), bins, h, w)
     np.testing.assert_allclose(np.asarray(got_dev), ref, atol=2e-3)
 
@@ -87,7 +87,7 @@ def test_voxel_truncation_and_padding_consistency():
     """Padded device buffer must ignore the padding tail."""
     ev = make_events(1000, 32, 32)
     ref = events_to_voxel_grid_np(ev.copy(), 5, 32, 32)
-    padded, n_valid = pad_events(ev, 4096)
+    padded, n_valid, _ = pad_events(ev, 4096)
     got = events_to_voxel_grid(jnp.asarray(padded), jnp.asarray(n_valid), 5, 32, 32)
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3)
 
@@ -103,7 +103,7 @@ def test_batched_device_voxelizer():
     for i in range(3):
         ev = make_events(400 + 100 * i, 24, 32)
         refs.append(events_to_voxel_grid_np(ev.copy(), 5, 24, 32))
-        p, n = pad_events(ev, 1024)
+        p, n, _ = pad_events(ev, 1024)
         evs.append(p)
         nvs.append(n)
     out = events_to_voxel_grid_batch(

@@ -30,6 +30,9 @@ def main() -> None:
     p.add_argument("--save_dir", default="runs/hrem_eval")
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--save_csv", action="store_true")
+    p.add_argument("--device_voxelize", action="store_true",
+                   help="voxelize raw events on device inside the jitted forward")
+    p.add_argument("--bucket_size", type=int, default=1 << 18)
     args = p.parse_args()
 
     import jax
@@ -64,11 +67,24 @@ def main() -> None:
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
 
-    dataset = HREMEventFlow(args.data_root, dt=args.event_interval, train=False)
+    dataset = HREMEventFlow(
+        args.data_root, dt=args.event_interval, train=False,
+        raw_events=args.device_voxelize, bucket_size=args.bucket_size,
+    )
+    preprocess = None
+    if args.device_voxelize:
+        from eemflow_tpu.data.device_input import make_device_preprocess
+
+        preprocess = make_device_preprocess(
+            dataset.num_bins, dataset.image_height, dataset.image_width
+        )
+    from eemflow_tpu.train.adapters import get_family
+
     save_path = os.path.join(args.save_dir, f"{args.model}_{args.event_interval}")
     logger = Logger(save_path)
     tester = Tester(
-        model, variables, logger=logger, save_path=save_path, save_csv=args.save_csv
+        model, variables, logger=logger, save_path=save_path, save_csv=args.save_csv,
+        family=get_family(args.model), preprocess=preprocess,
     )
     seqs = [s for s in HREM_SEQUENCES if s in getattr(dataset, "nori_list", {})]
     tester.test_multi_sequence(dataset, seqs or HREM_SEQUENCES, stride=args.stride)

@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--stride", type=int, default=30)
     p.add_argument("--save_dir", default="runs/mvsec_eval")
     p.add_argument("--save_csv", action="store_true")
+    p.add_argument("--device_voxelize", action="store_true",
+                   help="voxelize raw events on device (center-crop included)")
+    p.add_argument("--bucket_size", type=int, default=1 << 17)
     args = p.parse_args()
 
     import jax
@@ -62,12 +65,27 @@ def main() -> None:
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
 
+    from eemflow_tpu.train.adapters import get_family
+
+    family = get_family(args.model)
     ds_cls = MvsecEventFlow if args.event_interval == "dt1" else MvsecEventFlow_dt4
     dataset = ds_cls(
         args.data_root, sequence=args.sequence, train=False,
         eval_type=args.eval_type,
+        raw_events=args.device_voxelize, bucket_size=args.bucket_size,
+        with_dense=family.name in ("dense_sparse", "dense_ctx", "mimounet"),
+        time_stack=family.name == "single_volume",
     )
     is_car = "outdoor" in args.sequence
+
+    preprocess = None
+    if args.device_voxelize:
+        from eemflow_tpu.data.device_input import make_device_preprocess
+
+        preprocess = make_device_preprocess(
+            dataset.num_bins, dataset.image_height, dataset.image_width,
+            crop_size=(256, 256),  # the MVSEC val center-crop, on device
+        )
 
     save_path = os.path.join(
         args.save_dir, f"{args.model}_{args.event_interval}_{args.sequence}"
@@ -76,6 +94,7 @@ def main() -> None:
     tester = Tester(
         model, variables, logger=logger, save_path=save_path,
         save_csv=args.save_csv, is_car=is_car,
+        family=family, preprocess=preprocess,
     )
     res = tester.test_sequence(dataset, stride=args.stride)
     logger.write_line(

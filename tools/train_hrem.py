@@ -40,6 +40,18 @@ def main() -> None:
         "--full_res_flow", action="store_true",
         help="train against full-resolution flow instead of the 16x16 meshflow",
     )
+    p.add_argument(
+        "--device_voxelize", action="store_true",
+        help="voxelize raw events on device inside the jitted step "
+        "(the TPU-native input path; host only pads event buffers)",
+    )
+    p.add_argument("--bucket_size", type=int, default=1 << 18,
+                   help="event bucket size for --device_voxelize")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision training (fp32 master params)")
+    p.add_argument("--viz", action="store_true",
+                   help="dump flow/map visualizations every 100 iters "
+                   "(reference train_mvsec.py:263-276)")
     args = p.parse_args()
 
     import jax
@@ -47,6 +59,7 @@ def main() -> None:
 
     from eemflow_tpu.data.hrem import HREMEventFlow
     from eemflow_tpu.data.loader import batch_iterator, prefetch
+    from eemflow_tpu.parallel.mesh import init_distributed
     from eemflow_tpu.models import get_model
     from eemflow_tpu.parallel.mesh import make_mesh, shard_batch
     from eemflow_tpu.train.checkpoint import restore_checkpoint
@@ -83,21 +96,40 @@ def main() -> None:
         clip=train_cfg.get("clip", 1.0),
     )
 
+    num_bins = cfg.get("data_loader", {}).get("train", {}).get("args", {}).get(
+        "num_voxel_bins", 5
+    )
     dataset = HREMEventFlow(
         args.data_root,
         dt=args.event_interval,
         train=True,
-        num_bins=cfg.get("data_loader", {}).get("train", {}).get("args", {}).get(
-            "num_voxel_bins", 5
-        ),
+        num_bins=num_bins,
         aug_params=aug,
         rng=np.random.default_rng(args.seed),
+        raw_events=args.device_voxelize,
+        bucket_size=args.bucket_size,
     )
     logger.write_line(f"dataset: {len(dataset)} samples", True)
 
+    preprocess = None
+    if args.device_voxelize:
+        from eemflow_tpu.data.device_input import make_device_preprocess
+
+        preprocess = make_device_preprocess(
+            num_bins, dataset.image_height, dataset.image_width
+        )
+
+    from eemflow_tpu.train.adapters import get_family
+
+    family = get_family(args.model)
+
+    init_distributed()  # multi-host no-op unless a launcher provides coords
     mesh = make_mesh(n_spatial=1)
     batches = prefetch(
-        batch_iterator(dataset, args.batch_size, shuffle=True, seed=args.seed)
+        batch_iterator(
+            dataset, args.batch_size, shuffle=True, seed=args.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
     )
 
     def to_device(b):
@@ -105,7 +137,10 @@ def main() -> None:
         return shard_batch(b, mesh)
 
     first = to_device(next(iter(batches)))
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), first, tx)
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed), first, tx,
+        family=family, preprocess=preprocess,
+    )
 
     start_epoch = 0
     ckpt_dir = os.path.join(save_path, "ckpt")
@@ -113,8 +148,21 @@ def main() -> None:
         state, start_epoch = restore_checkpoint(ckpt_dir, state, args.start_epoch)
         logger.write_line(f"resumed from epoch {start_epoch}", True)
 
+    viz_hook = None
+    if args.viz:
+        from eemflow_tpu.viz.visualizer import make_train_viz_hook
+
+        viz_hook = make_train_viz_hook(
+            os.path.join(save_path, "viz"), model=model, family=family,
+            preprocess=preprocess,
+        )
+
     trainer = Trainer(model, tx, gamma=train_cfg.get("gamma", 0.8), logger=logger,
-                      checkpoint_dir=ckpt_dir)
+                      checkpoint_dir=ckpt_dir, family=family,
+                      preprocess=preprocess,
+                      mixed_precision=args.bf16
+                      or bool(train_cfg.get("mixed_precision", False)),
+                      viz_hook=viz_hook)
     n_epochs = args.train_iters // args.val_iters
     for epoch in range(start_epoch, n_epochs):
         state = trainer.train_iters(

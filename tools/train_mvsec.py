@@ -33,11 +33,16 @@ def main() -> None:
     p.add_argument("-se", "--start_epoch", type=int, default=None)
     p.add_argument("--save_dir", default="runs/mvsec")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device_voxelize", action="store_true",
+                   help="device-side voxelization (train aug = flips only)")
+    p.add_argument("--bucket_size", type=int, default=1 << 17)
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     import jax
 
     from eemflow_tpu.data.loader import batch_iterator, prefetch
+    from eemflow_tpu.parallel.mesh import init_distributed
     from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
     from eemflow_tpu.models import get_model
     from eemflow_tpu.parallel.mesh import make_mesh, shard_batch
@@ -54,15 +59,24 @@ def main() -> None:
                        "do_flip": True}
     )
 
+    from eemflow_tpu.train.adapters import get_family
+
+    family = get_family(args.model)
     ds_cls = MvsecEventFlow if args.event_interval == "dt1" else MvsecEventFlow_dt4
+    num_bins = train_args.get("num_voxel_bins", 5)
     dataset = ds_cls(
         args.data_root,
         sequence=args.sequence,
         train=True,
-        num_bins=train_args.get("num_voxel_bins", 5),
+        num_bins=num_bins,
         eval_type=train_args.get("eval_type", "dense"),
         aug_params=aug,
         rng=np.random.default_rng(args.seed),
+        raw_events=args.device_voxelize,
+        bucket_size=args.bucket_size,
+        # family-driven batch contract (see train.adapters)
+        with_dense=family.name in ("dense_sparse", "dense_ctx", "mimounet"),
+        time_stack=family.name == "single_volume",
     )
 
     save_path = create_save_path(
@@ -76,9 +90,21 @@ def main() -> None:
     model = get_model(args.model)
     tx = make_optimizer(lr=args.lr, wdecay=args.wd, num_steps=args.train_iters)
 
+    preprocess = None
+    if args.device_voxelize:
+        from eemflow_tpu.data.device_input import make_device_preprocess
+
+        preprocess = make_device_preprocess(
+            num_bins, dataset.image_height, dataset.image_width
+        )
+
+    init_distributed()  # multi-host no-op unless a launcher provides coords
     mesh = make_mesh(n_spatial=1)
     batches = prefetch(
-        batch_iterator(dataset, args.batch_size, shuffle=True, seed=args.seed)
+        batch_iterator(
+            dataset, args.batch_size, shuffle=True, seed=args.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
     )
 
     def to_device(b):
@@ -86,7 +112,10 @@ def main() -> None:
         return shard_batch(b, mesh)
 
     first = to_device(next(iter(batches)))
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), first, tx)
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed), first, tx,
+        family=family, preprocess=preprocess,
+    )
 
     ckpt_dir = os.path.join(save_path, "ckpt")
     start_epoch = 0
@@ -94,7 +123,12 @@ def main() -> None:
         state, start_epoch = restore_checkpoint(ckpt_dir, state, args.start_epoch)
         logger.write_line(f"resumed from epoch {start_epoch}", True)
 
-    trainer = Trainer(model, tx, logger=logger, checkpoint_dir=ckpt_dir)
+    trainer = Trainer(
+        model, tx, logger=logger, checkpoint_dir=ckpt_dir, family=family,
+        preprocess=preprocess,
+        mixed_precision=args.bf16
+        or bool(cfg.get("train", {}).get("mixed_precision", False)),
+    )
     for epoch in range(start_epoch, args.train_iters // args.val_iters):
         state = trainer.train_iters(
             state, map(to_device, batches), start_epoch=epoch,
