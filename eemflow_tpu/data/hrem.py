@@ -121,19 +121,13 @@ class HREMEventFlow:
         return grid.transpose(1, 2, 0)  # [H, W, bins]
 
     def _raw(self, path: str):
-        """Read + pad raw events for device-side voxelization."""
-        from eemflow_tpu.events.voxel import pad_events
+        """Read + pad raw events for device-side voxelization (fused C++
+        decode+pack when available — ``eemflow_tpu.native``)."""
+        from eemflow_tpu.native import decode_pack_npz
 
-        events = read_compressed_events(path)
-        seq = EventSequence(
-            events,
-            height=self.image_height,
-            width=self.image_width,
-            timestamp_multiplier=1e6,
-            convert_to_relative=True,
-        )
-        padded, n, dropped = pad_events(seq.features, self.bucket_size)
-        self.overflow.update(len(seq.features), dropped)
+        with np.load(path) as npz:
+            padded, n, dropped = decode_pack_npz(npz, self.bucket_size)
+        self.overflow.update(n + dropped, dropped)
         return padded, np.int32(n)
 
     def get_sample(self, idx: int) -> Dict[str, np.ndarray]:

@@ -169,6 +169,9 @@ class MvsecEventFlow:
             from eemflow_tpu.events.voxel import pad_events
 
             for key, seq in (("old", seq_old), ("new", seq_new)):
+                # EventSequence already scaled/sorted → plain pad (the fused
+                # native decode covers the HREM npz path; MVSEC's pandas-h5
+                # read dominates here anyway)
                 padded, n, dropped = pad_events(seq.features, self.bucket_size)
                 self.overflow.update(len(seq.features), dropped)
                 sample[f"events_{key}"] = padded

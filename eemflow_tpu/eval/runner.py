@@ -139,6 +139,28 @@ class Tester:
             "n_samples": iters,
         }
 
+    def validate_chairs(self, dataset, iters: Optional[int] = None,
+                        max_samples: Optional[int] = None) -> float:
+        """FlyingChairs validation (reference ``test_mvsec.py:1341-1393``):
+        unmasked per-pixel EPE, mean over ALL pixels of the split (the
+        concatenated-EPE protocol, not per-sample averaging)."""
+        epe_sum = 0.0
+        n_px = 0
+        done = 0
+        for idx in range(len(dataset)):
+            sample = dataset[idx]
+            flow_est = self.run_sample(sample)
+            gt = np.asarray(sample["flow"])
+            epe = np.sqrt(((flow_est - gt) ** 2).sum(-1))
+            epe_sum += float(epe.sum())
+            n_px += epe.size
+            done += 1
+            if max_samples is not None and done >= max_samples:
+                break
+        epe = epe_sum / max(n_px, 1)
+        self._log(f"Validation Chairs EPE: {epe:f}")
+        return epe
+
     def test_multi_sequence(
         self,
         dataset,

@@ -1,0 +1,133 @@
+"""Native host-side input runtime: fused event decode + pack (C++, ctypes).
+
+The single-core host feeding a TPU must not burn its cycles on Python
+event munging (the reference's DataLoader-worker hot loop).  The C++
+translation unit (``eventpack.cpp``) fuses npz/h5 column decode, timestamp
+scaling + relative conversion, polarity mapping and bucket padding into
+one pass writing the final float32 batch row — no intermediate arrays.
+
+Built on first use with ``g++ -O3 -shared -fPIC`` (no pybind11 in this
+image; plain C ABI + ctypes).  Everything degrades to the numpy reference
+path (``events.sequence.EventSequence`` + ``events.voxel.pad_events``) when
+the toolchain is unavailable or the input is unsorted — bit-identical
+numerics either way (tested in ``tests/test_native.py``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    src = os.path.join(os.path.dirname(__file__), "eventpack.cpp")
+    so = os.path.join(tempfile.gettempdir(), "eemflow_eventpack.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.decode_pack_i64.restype = ctypes.c_int
+        lib.decode_pack_f64.restype = ctypes.c_int
+        _LIB = lib
+    except (OSError, subprocess.CalledProcessError):
+        _LIB = None
+    return _LIB
+
+
+def have_native() -> bool:
+    return _build_and_load() is not None
+
+
+def _fallback(
+    features: np.ndarray, bucket: int, ts_mult: float
+) -> Tuple[np.ndarray, int, int]:
+    """Numpy reference path (EventSequence + pad_events semantics)."""
+    from eemflow_tpu.events.sequence import EventSequence
+    from eemflow_tpu.events.voxel import pad_events
+
+    seq = EventSequence(
+        features, height=0, width=0,
+        timestamp_multiplier=ts_mult, convert_to_relative=True,
+    )
+    return pad_events(seq.features, bucket)
+
+
+def decode_pack_npz(
+    npz, bucket: int, ts_mult: float = 1e6
+) -> Tuple[np.ndarray, int, int]:
+    """HREM npz event record → (padded [bucket,4] float32, n_valid, dropped).
+
+    Fused native path when available; numpy path otherwise (also used for
+    unsorted inputs, which the numpy path sorts)."""
+    t = np.ascontiguousarray(npz["t"], np.int64)
+    x = np.ascontiguousarray(npz["x"], np.int16)
+    y = np.ascontiguousarray(npz["y"], np.int16)
+    p = np.ascontiguousarray(npz["p"], np.int8)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty((bucket, 4), np.float32)
+        n_valid = ctypes.c_longlong()
+        n_dropped = ctypes.c_longlong()
+        rc = lib.decode_pack_i64(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+            ctypes.c_longlong(len(t)),
+            ctypes.c_longlong(bucket),
+            ctypes.c_double(ts_mult),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(n_valid),
+            ctypes.byref(n_dropped),
+        )
+        if rc == 0:
+            return out, int(n_valid.value), int(n_dropped.value)
+    # decode the npz the reader's way, then the numpy path
+    feats = np.stack(
+        [t.astype(np.float64) * 1e-9, x, y, 2.0 * p.astype(np.float64) - 1.0],
+        axis=1,
+    )
+    return _fallback(feats, bucket, ts_mult)
+
+
+def decode_pack_features(
+    features: np.ndarray, bucket: int, ts_mult: float = 1e6,
+    map_zero_polarity: bool = False,
+) -> Tuple[np.ndarray, int, int]:
+    """[N,4] float64 [ts,x,y,p] (MVSEC h5 tables) → padded float32 rows."""
+    lib = _build_and_load()
+    feats = np.ascontiguousarray(features, np.float64)
+    if lib is not None and feats.size:
+        cols = np.ascontiguousarray(feats.T)  # per-column contiguous views
+        out = np.empty((bucket, 4), np.float32)
+        n_valid = ctypes.c_longlong()
+        n_dropped = ctypes.c_longlong()
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        rc = lib.decode_pack_f64(
+            dptr(cols[0]), dptr(cols[1]), dptr(cols[2]), dptr(cols[3]),
+            ctypes.c_longlong(len(feats)),
+            ctypes.c_longlong(bucket),
+            ctypes.c_double(ts_mult),
+            ctypes.c_int(1 if map_zero_polarity else 0),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(n_valid),
+            ctypes.byref(n_dropped),
+        )
+        if rc == 0:
+            return out, int(n_valid.value), int(n_dropped.value)
+    return _fallback(feats, bucket, ts_mult)

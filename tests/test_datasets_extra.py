@@ -164,3 +164,40 @@ def test_pfm_roundtrip_and_things_synthetic(tmp_path):
     assert s["flow"].shape == (h, w, 2)
     assert s["event_volume_old"].shape == (h, w, 3)
     assert np.isfinite(s["flow"]).all()
+
+
+def test_validate_chairs_protocol(tmp_path):
+    """Chairs validation = mean EPE over ALL pixels of the split
+    (reference test_mvsec.py:1341-1393)."""
+    from eemflow_tpu.data.frame_datasets import FlyingChairs
+    from eemflow_tpu.eval.runner import Tester
+    from eemflow_tpu.events.io import write_flo
+    from eemflow_tpu.models.eemflow import EEMFlow
+    from PIL import Image
+
+    root = tmp_path / "chairs"
+    (root / "data").mkdir(parents=True)
+    for i in range(1, 3):
+        for k in (1, 2):
+            Image.fromarray(
+                RNG.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+            ).save(root / "data" / f"{i:05d}_img{k}.ppm")
+        write_flo(
+            RNG.standard_normal((32, 48, 2)).astype(np.float32),
+            str(root / "data" / f"{i:05d}_flow.flo"),
+        )
+    ds = FlyingChairs(str(root), "training")
+    model = EEMFlow(n_first_channels=3)
+    x = jnp.asarray(RNG.standard_normal((1, 32, 48, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, x)
+    t = Tester(model, v)
+    epe = t.validate_chairs(ds)
+    # oracle: accumulate per-pixel epes manually
+    tot, n = 0.0, 0
+    for i in range(len(ds)):
+        s = ds[i]
+        est = t.run_sample(s)
+        e = np.sqrt(((est - s["flow"]) ** 2).sum(-1))
+        tot += e.sum()
+        n += e.size
+    np.testing.assert_allclose(epe, tot / n, rtol=1e-6)
