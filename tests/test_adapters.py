@@ -273,3 +273,35 @@ def test_bf16_forward_drift_bounded(model_name):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@pytest.mark.parametrize(
+    "model_name,kwargs",
+    [
+        ("eemflow_plus", {}),
+        ("eraft", {"iters": 2}),
+        ("gma", {"iters": 2}),
+        ("gmflow", {}),
+        ("skflow", {"iters": 2}),
+        ("kpaflow", {"iters": 2, "sc_enc": 4, "sc_dec": 4}),
+        ("irrpwc", {}),
+        ("irrpwc_occ", {}),
+        ("raft", {"iters": 2}),
+        ("flowformer", {"encoder_depth": 1, "decoder_depth": 2}),
+        ("unite_denoise_raft", {"iters": 2}),
+    ],
+)
+def test_remaining_zoo_trains(model_name, kwargs):
+    """Every remaining two-volume registry model completes train steps with
+    finite loss and moving params (VERDICT #2 'each registry model trains')."""
+    from eemflow_tpu.models import get_model
+
+    B, H, W = 1, 64, 64
+    scale = 255.0 if model_name == "raft" else 1.0
+    batch = {
+        "event_volume_old": jnp.asarray(RNG.random((B, H, W, 3 if model_name == "raft" else 5)) * scale, jnp.float32),
+        "event_volume_new": jnp.asarray(RNG.random((B, H, W, 3 if model_name == "raft" else 5)) * scale, jnp.float32),
+        **_flow_batch(B, H, W),
+    }
+    _run_family(get_model(model_name, **kwargs), get_family(model_name), batch,
+                steps=2)

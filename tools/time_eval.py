@@ -1,9 +1,14 @@
 """FPS harness for any registry model (reference ``time_eval`` pattern,
 ``model/EEMFlow/EEMFlow.py:201-225`` / ``model/eraft.py:187-211``).
 
+Timing uses the differential method from ``bench.py`` (two composed
+executables of K1/K2 distinct-input forwards, scalar-fetch synchronized) —
+the only faithful measurement through the axon device tunnel, where
+``block_until_ready`` returns at the enqueue ack (see docs/PERF.md).
+
 Usage:
   python tools/time_eval.py -model eemflow --size 720 1280 -bs 2
-  python tools/time_eval.py -model eraft  --size 512 960  -bs 1
+  python tools/time_eval.py -model eraft  --size 512 960  -bs 1 --k 2 6
 """
 
 from __future__ import annotations
@@ -24,44 +29,45 @@ def main() -> None:
     p.add_argument("--size", type=int, nargs=2, default=[720, 1280])
     p.add_argument("-bs", "--batch_size", type=int, default=2)
     p.add_argument("--bins", type=int, default=5)
-    p.add_argument("--reps", type=int, default=50)
-    p.add_argument("--bf16", action="store_true", help="cast inputs/compute to bfloat16")
+    p.add_argument("--k", type=int, nargs=2, default=None,
+                   help="K1 K2 composed-forward counts (default 4 12; use "
+                   "smaller for heavy models)")
+    p.add_argument("--bf16", action="store_true",
+                   help="cast params+inputs to bfloat16")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _fwd_throughput
     from eemflow_tpu.models import get_model
+    from eemflow_tpu.train.trainer import cast_floating
 
     h, w = args.size
+    k1, k2 = args.k if args.k else (4, 12)
     model = get_model(args.model)
     rng = np.random.default_rng(0)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    ev1 = jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)), dtype)
-    ev2 = jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)), dtype)
-    variables = model.init(jax.random.PRNGKey(0), ev1, ev2)
-
-    @jax.jit
-    def fwd(v, a, b):
-        out = model.apply(v, a, b)[1]
-        return out[-1]
-
+    bufs = tuple(
+        jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)),
+                    jnp.float32)
+        for _ in range(max(4, min(8, k2 // 2 + 2)))
+    )
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(variables, ev1, ev2))
-    print(f"compile: {time.perf_counter() - t0:.1f}s", flush=True)
-    for _ in range(5):
-        jax.block_until_ready(fwd(variables, ev1, ev2))
+    variables = model.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
+    if args.bf16:
+        variables = cast_floating(variables, jnp.bfloat16)
+        bufs = tuple(b.astype(jnp.bfloat16) for b in bufs)
+    print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = fwd(variables, ev1, ev2)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    per_img = dt / (args.reps * args.batch_size)
+    apply_final = lambda v, a, b: model.apply(v, a, b)[1][-1]
+    dt = _fwd_throughput(apply_final, variables, bufs, k1, k2)
+    per_img = dt / args.batch_size
     print(
-        f"{args.model} @ {h}x{w} b={args.batch_size}: "
-        f"{per_img * 1e3:.3f} ms/img, {1.0 / per_img:.1f} FPS "
-        f"({jax.devices()[0].platform})"
+        f"{args.model} @ {h}x{w} b={args.batch_size}"
+        f"{' bf16' if args.bf16 else ''}: "
+        f"{per_img * 1e3:.3f} ms/img, {1.0 / per_img:.1f} FPS sustained "
+        f"({jax.devices()[0].device_kind})"
     )
 
 
