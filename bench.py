@@ -20,12 +20,18 @@ point-for-point.  ``extra`` carries:
 TIMING METHOD (important): through the axon device tunnel,
 ``block_until_ready`` does NOT round-trip (returns at the enqueue ack —
 sub-RTT "timings" up to 50× too fast were observed), and a result fetch
-pays a ~35-40 ms network RTT.  Every point here is therefore measured
-DIFFERENTIALLY: two compiled executables doing K₁ and K₂ units of work
-(K distinct forwards on rotating buffers — distinct pairs so XLA cannot
-CSE them — or a lax.scan of K chained train steps), each synchronized by
-fetching a scalar result; per-unit time = (t(K₂) − t(K₁)) / (K₂ − K₁),
-which cancels the RTT and dispatch constants exactly.
+pays a ~35-40 ms network RTT.  Every point is therefore measured
+DIFFERENTIALLY: two compiled executables doing K₁ and K₂ units of work,
+each synchronized by fetching a scalar result; per-unit time =
+(t(K₂) − t(K₁)) / (K₂ − K₁), which cancels the RTT/dispatch constants.
+
+The K units run as a ``lax.scan`` (strictly serialized iterations) — this
+reproduces the reference harness's serialized per-dispatch semantics and
+matches jax.profiler device traces exactly (docs/PROFILE_r2.md).  The
+``extra.batched_throughput_fps`` point instead uses K UNROLLED independent
+forwards in one program, where XLA overlaps layout copies with compute —
+the per-frame cost of large fused programs (how this framework trains and
+batch-evals); both numbers are real, they answer different questions.
 
 vs_baseline: the reference repo publishes no FPS number (BASELINE.md); we
 normalize against an ASSUMED 100 frames/s for the CUDA reference at the
@@ -41,7 +47,7 @@ ASSUMED_CUDA_BASELINE_FPS = 100.0
 CHIP_PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5p": 459.0, "TPU v4": 275.0}
 
 
-def _fetch_time(fn, args, reps=3):
+def _fetch_time(fn, args, reps=5):
     """Best-of-reps wall time of fn(*args) synchronized by fetching the
     scalar result to host (the only sync the tunnel honors)."""
     import sys
@@ -73,8 +79,42 @@ def _pairs(n_bufs: int, k: int):
     return out
 
 
-def _fwd_throughput(apply_final, variables, bufs, k1, k2):
-    """Differential per-forward seconds for a two-input model."""
+def _fwd_throughput(apply_final, variables, bufs, k1, k2, reps=5):
+    """Differential per-forward seconds, SERIALIZED semantics: the K
+    forwards run as ONE ``lax.scan`` whose body dynamically indexes a
+    rotating buffer stack (constant compile cost, no CSE, strictly serial
+    iterations — the reference harness's per-dispatch regime; matches
+    jax.profiler traces).  Large K spreads drown the tunnel's RTT jitter
+    (±25% was observed with small spreads)."""
+    import jax
+    import jax.numpy as jnp
+
+    stack = jnp.stack(bufs)
+    nb = len(bufs)
+
+    def make(k):
+        def f(v, s):
+            def body(acc, i):
+                a = jax.lax.dynamic_index_in_dim(s, i % nb, keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(s, (i + 1) % nb, keepdims=False)
+                return acc + apply_final(v, a, b).mean().astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(k))
+            return acc
+
+        return jax.jit(f)
+
+    t1 = _fetch_time(make(k1), (variables, stack), reps=reps)
+    t2 = _fetch_time(make(k2), (variables, stack), reps=reps)
+    return (t2 - t1) / (k2 - k1)
+
+
+def _fwd_throughput_unrolled(apply_final, variables, bufs, k1, k2, reps=5):
+    """Differential per-forward seconds, FUSED-PROGRAM semantics: K
+    independent forwards (distinct buffer pairs — CSE-proof) unrolled into
+    one executable; XLA overlaps layout copies of one forward with compute
+    of another, giving the per-frame cost of large batched programs."""
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +129,8 @@ def _fwd_throughput(apply_final, variables, bufs, k1, k2):
 
         return jax.jit(f)
 
-    t1 = _fetch_time(make(k1), (variables, *bufs))
-    t2 = _fetch_time(make(k2), (variables, *bufs))
+    t1 = _fetch_time(make(k1), (variables, *bufs), reps=reps)
+    t2 = _fetch_time(make(k2), (variables, *bufs), reps=reps)
     return (t2 - t1) / (k2 - k1)
 
 
@@ -118,8 +158,11 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
     apply_final = lambda v, a, b: model.apply(v, a, b)[1][-1]
 
-    dt = _fwd_throughput(apply_final, variables, bufs, 4, 12)
+    dt = _fwd_throughput(apply_final, variables, bufs, 4, 24)
     fps = batch / dt
+    # fused-program (batched) per-frame throughput — see module docstring
+    dt_unrolled = _fwd_throughput_unrolled(apply_final, variables, bufs, 8, 40)
+    extra["batched_throughput_fps"] = round(batch / dt_unrolled, 2)
 
     # XLA cost analysis → analytic FLOPs (per single forward)
     try:
@@ -141,7 +184,7 @@ def main() -> None:
     # ---- bf16 forward, same harness point ----
     v16 = cast_floating(variables, jnp.bfloat16)
     bufs16 = tuple(b.astype(jnp.bfloat16) for b in bufs)
-    dt16 = _fwd_throughput(apply_final, v16, bufs16, 4, 12)
+    dt16 = _fwd_throughput(apply_final, v16, bufs16, 4, 24)
     extra["eemflow_fwd_bf16_fps"] = round(batch / dt16, 2)
     if flops > 0:
         extra["achieved_tflops_bf16"] = round(flops / dt16 / 1e12, 2)
@@ -159,7 +202,7 @@ def main() -> None:
         )
         ev_var = em.init(jax.random.PRNGKey(0), ebufs[0], ebufs[1])
         eapply = lambda v, a, b: em.apply(v, a, b)[1][-1]
-        dte = _fwd_throughput(eapply, ev_var, ebufs, 1, 3)
+        dte = _fwd_throughput(eapply, ev_var, ebufs, 1, 9)
         extra["eraft_fwd_fps_512x960_b1"] = round(1.0 / dte, 2)
     except Exception as e:  # keep the headline alive on partial failure
         extra["eraft_error"] = repr(e)[:120]
@@ -227,9 +270,9 @@ def main() -> None:
 
             return steps_k
 
-        t1 = _fetch_time(make_steps(2), (state, tbatch))
-        t2 = _fetch_time(make_steps(10), (state, tbatch))
-        step_dt = (t2 - t1) / 8
+        t1 = _fetch_time(make_steps(2), (state, tbatch), reps=5)
+        t2 = _fetch_time(make_steps(12), (state, tbatch), reps=5)
+        step_dt = (t2 - t1) / 10
         extra["train_steps_per_sec_512x960_b6"] = round(1.0 / step_dt, 3)
         extra["train_frames_per_sec"] = round(B / step_dt, 1)
         extra["input_pipeline_fraction"] = round(host_time / step_dt, 3)

@@ -78,3 +78,25 @@ def test_eemflow_init_and_jit():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_s2d_stem_exact_reparam():
+    """The space-to-depth stem is an exact reparameterization: identical
+    params → identical outputs (fp noise) with s2d on/off."""
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    rng = np.random.default_rng(9)
+    x1 = jnp.asarray(rng.standard_normal((1, 64, 64, 5)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((1, 64, 64, 5)), jnp.float32)
+    m_ref = EEMFlow(s2d_stem=False)
+    m_s2d = EEMFlow(s2d_stem=True)
+    v = m_ref.init(jax.random.PRNGKey(0), x1, x2)
+    # identical param trees by construction (tested here)
+    v2 = m_s2d.init(jax.random.PRNGKey(0), x1, x2)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    out_ref = np.asarray(m_ref.apply(v, x1, x2)[1][-1])
+    out_s2d = np.asarray(m_s2d.apply(v, x1, x2)[1][-1])
+    np.testing.assert_allclose(out_s2d, out_ref, atol=1e-4)

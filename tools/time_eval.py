@@ -1,10 +1,10 @@
 """FPS harness for any registry model (reference ``time_eval`` pattern,
 ``model/EEMFlow/EEMFlow.py:201-225`` / ``model/eraft.py:187-211``).
 
-Timing uses the differential method from ``bench.py`` (two composed
-executables of K1/K2 distinct-input forwards, scalar-fetch synchronized) —
-the only faithful measurement through the axon device tunnel, where
-``block_until_ready`` returns at the enqueue ack (see docs/PERF.md).
+Timing uses the differential lax.scan method from ``bench.py`` (serialized
+per-dispatch semantics, matching the reference harness and jax.profiler
+traces) — the only faithful measurement through the axon device tunnel,
+where ``block_until_ready`` returns at the enqueue ack (see docs/PERF.md).
 
 Usage:
   python tools/time_eval.py -model eemflow --size 720 1280 -bs 2
@@ -30,8 +30,8 @@ def main() -> None:
     p.add_argument("-bs", "--batch_size", type=int, default=2)
     p.add_argument("--bins", type=int, default=5)
     p.add_argument("--k", type=int, nargs=2, default=None,
-                   help="K1 K2 composed-forward counts (default 4 12; use "
-                   "smaller for heavy models)")
+                   help="K1 K2 scan lengths (default 4 24; use smaller "
+                   "for heavy models)")
     p.add_argument("--bf16", action="store_true",
                    help="cast params+inputs to bfloat16")
     args = p.parse_args()
@@ -45,7 +45,7 @@ def main() -> None:
     from eemflow_tpu.train.trainer import cast_floating
 
     h, w = args.size
-    k1, k2 = args.k if args.k else (4, 12)
+    k1, k2 = args.k if args.k else (4, 24)
     model = get_model(args.model)
     rng = np.random.default_rng(0)
     bufs = tuple(
@@ -66,7 +66,7 @@ def main() -> None:
     print(
         f"{args.model} @ {h}x{w} b={args.batch_size}"
         f"{' bf16' if args.bf16 else ''}: "
-        f"{per_img * 1e3:.3f} ms/img, {1.0 / per_img:.1f} FPS sustained "
+        f"{per_img * 1e3:.3f} ms/img, {1.0 / per_img:.1f} FPS (serialized dispatch) "
         f"({jax.devices()[0].device_kind})"
     )
 
