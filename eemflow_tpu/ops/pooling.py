@@ -23,6 +23,13 @@ def avg_pool2d(x: jax.Array, kernel_size, stride=None) -> jax.Array:
         stride = (stride, stride)
     kh, kw = kernel_size
     sh, sw = stride
+    B, H, W, C = x.shape
+    if (kh, kw) == (sh, sw) and H % kh == 0 and W % kw == 0:
+        # non-overlapping pool ≡ reshape + mean — avoids reduce-window,
+        # whose TPU layout preferences insert relayout copies around the
+        # EEMFlow pyramid pools (profiled; see docs/PERF.md)
+        xr = x.reshape(B, H // kh, kh, W // kw, kw, C)
+        return xr.mean(axis=(2, 4))
     # NOTE: the init value must be a Python literal — a traced scalar breaks
     # reverse-mode AD linearization under jit (JAX 0.9).
     summed = lax.reduce_window(
