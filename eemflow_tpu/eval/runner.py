@@ -360,3 +360,25 @@ class ResearchTester(Tester):
         for k, (aee, cnt) in result.items():
             self._log(f"density {k}: AEE {aee:.4f} ({cnt} samples)")
         return result
+
+    def save_dsec_submission(self, dataset, out_dir: str, stride: int = 1,
+                             max_samples: Optional[int] = None) -> int:
+        """Write 16-bit PNG flow submission files (reference
+        DsecFlowVisualizer.visualize_flow_submission,
+        ``utils/visualization.py:76``)."""
+        from eemflow_tpu.data.dsec import write_flow_submission
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_sample(sample)
+            name = sample.get("names", f"{idx:06d}")
+            write_flow_submission(flow_est, os.path.join(out_dir, f"{name}.png"))
+            n += 1
+            if max_samples is not None and n >= max_samples:
+                break
+        self._log(f"wrote {n} DSEC submission files to {out_dir}")
+        return n

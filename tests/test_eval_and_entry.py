@@ -101,3 +101,33 @@ def test_dryrun_multichip_8():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_inspect_utils():
+    """count_parameters / check_tensor / FLOPs util (reference
+    utils_luo/tools.py:2685-2743)."""
+    import io
+
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.models.eemflow import EEMFlow
+    from eemflow_tpu.utils.inspect import (
+        check_tensor,
+        compute_model_flops,
+        count_parameters,
+        im_norm,
+    )
+
+    m = EEMFlow()
+    x = jnp.zeros((1, 32, 32, 5))
+    v = m.init(jax.random.PRNGKey(0), x, x)
+    n = count_parameters(v)
+    assert n > 1e4
+    buf = io.StringIO()
+    s = check_tensor(np.arange(6.0).reshape(2, 3), "t", print_in_txt=buf)
+    assert "max:5.00" in s and "sum:15.00" in s
+    out = im_norm(np.asarray([[0.0, 2.0]]))
+    assert out.dtype == np.uint8 and out.max() == 255
+    flops = compute_model_flops(lambda a, b: m.apply(v, a, b)[1][-1], x, x)
+    assert flops["gflops"] > 0

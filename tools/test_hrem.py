@@ -30,6 +30,14 @@ def main() -> None:
     p.add_argument("--save_dir", default="runs/hrem_eval")
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--save_csv", action="store_true")
+    p.add_argument(
+        "--mode", default="standard",
+        choices=["standard", "save_flow", "low_epe", "warp", "density",
+                 "dsec_submission"],
+        help="research evaluation modes (reference test_mvsec.py research "
+        "methods; 'standard' = the protocol eval)",
+    )
+    p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--device_voxelize", action="store_true",
                    help="voxelize raw events on device inside the jitted forward")
     p.add_argument("--bucket_size", type=int, default=1 << 18)
@@ -41,7 +49,7 @@ def main() -> None:
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from eemflow_tpu.data.hrem import HREMEventFlow
-    from eemflow_tpu.eval.runner import Tester
+    from eemflow_tpu.eval.runner import ResearchTester as Tester
     from eemflow_tpu.models import get_model
     from eemflow_tpu.utils.logger import Logger
 
@@ -87,7 +95,27 @@ def main() -> None:
         family=get_family(args.model), preprocess=preprocess,
     )
     seqs = [s for s in HREM_SEQUENCES if s in getattr(dataset, "nori_list", {})]
-    tester.test_multi_sequence(dataset, seqs or HREM_SEQUENCES, stride=args.stride)
+    if args.mode == "standard":
+        tester.test_multi_sequence(dataset, seqs or HREM_SEQUENCES,
+                                   stride=args.stride,
+                                   max_samples=args.max_samples)
+    else:
+        # research modes run on the first available sequence
+        dataset.change_test_sequence((seqs or HREM_SEQUENCES)[0])
+        out = os.path.join(save_path, args.mode)
+        runner = {
+            "save_flow": lambda: tester.test_multi_save_flow(
+                dataset, out, stride=args.stride, max_samples=args.max_samples),
+            "low_epe": lambda: tester.test_vis_low_epe(
+                dataset, out, stride=args.stride, max_samples=args.max_samples),
+            "warp": lambda: tester.inference_warp(
+                dataset, out, stride=args.stride, max_samples=args.max_samples),
+            "density": lambda: tester.test_multi_density(
+                dataset, stride=args.stride, max_samples=args.max_samples),
+            "dsec_submission": lambda: tester.save_dsec_submission(
+                dataset, out, stride=args.stride, max_samples=args.max_samples),
+        }[args.mode]
+        runner()
 
 
 if __name__ == "__main__":

@@ -29,6 +29,14 @@ def main() -> None:
     p.add_argument("--stride", type=int, default=30)
     p.add_argument("--save_dir", default="runs/mvsec_eval")
     p.add_argument("--save_csv", action="store_true")
+    p.add_argument(
+        "--mode", default="standard",
+        choices=["standard", "save_flow", "low_epe", "warp", "density",
+                 "dsec_submission"],
+        help="research evaluation modes (reference test_mvsec.py research "
+        "methods; 'standard' = the protocol eval)",
+    )
+    p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--device_voxelize", action="store_true",
                    help="voxelize raw events on device (center-crop included)")
     p.add_argument("--bucket_size", type=int, default=1 << 17)
@@ -39,7 +47,7 @@ def main() -> None:
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
-    from eemflow_tpu.eval.runner import Tester
+    from eemflow_tpu.eval.runner import ResearchTester as Tester
     from eemflow_tpu.models import get_model
     from eemflow_tpu.utils.logger import Logger
 
@@ -96,13 +104,36 @@ def main() -> None:
         save_csv=args.save_csv, is_car=is_car,
         family=family, preprocess=preprocess,
     )
-    res = tester.test_sequence(dataset, stride=args.stride)
-    logger.write_line(
-        f"[{args.sequence}/{args.eval_type}] AEE {res['AEE']:.6f} "
-        f"1px-out {res['pct1_outlier']:.6f} 3px-out {res['pct3_outlier']:.6f} "
-        f"({res['n_samples']} samples)",
-        True,
-    )
+    if args.mode == "standard":
+        res = tester.test_sequence(dataset, stride=args.stride,
+                                   max_samples=args.max_samples)
+        logger.write_line(
+            f"[{args.sequence}/{args.eval_type}] AEE {res['AEE']:.6f} "
+            f"1px-out {res['pct1_outlier']:.6f} 3px-out {res['pct3_outlier']:.6f} "
+            f"({res['n_samples']} samples)",
+            True,
+        )
+    else:
+        _run_research_mode(tester, dataset, args, save_path)
+
+
+def _run_research_mode(tester, dataset, args, save_path: str) -> None:
+    out = os.path.join(save_path, args.mode)
+    if args.mode == "save_flow":
+        tester.test_multi_save_flow(dataset, out, stride=args.stride,
+                                    max_samples=args.max_samples)
+    elif args.mode == "low_epe":
+        tester.test_vis_low_epe(dataset, out, stride=args.stride,
+                                max_samples=args.max_samples)
+    elif args.mode == "warp":
+        tester.inference_warp(dataset, out, stride=args.stride,
+                              max_samples=args.max_samples)
+    elif args.mode == "density":
+        tester.test_multi_density(dataset, stride=args.stride,
+                                  max_samples=args.max_samples)
+    elif args.mode == "dsec_submission":
+        tester.save_dsec_submission(dataset, out, stride=args.stride,
+                                    max_samples=args.max_samples)
 
 
 if __name__ == "__main__":
