@@ -57,6 +57,7 @@ class HREMEventFlow:
         rng: Optional[np.random.Generator] = None,
         raw_events: bool = False,
         bucket_size: int = 1 << 18,
+        full_res_flow: bool = False,
     ):
         self.root = root
         self.dt = dt
@@ -64,6 +65,11 @@ class HREMEventFlow:
         self.num_bins = num_bins
         self.evaluation_type = eval_type
         self.mesh_size = mesh_size
+        # full_res_flow: train labels are the dense .flo flow instead of the
+        # 16×16 meshflow — lets every full-resolution model in the zoo train
+        # on HREM (the reference's HREM trainer only ever works for EEMFlow's
+        # mesh-resolution head; other registry models would shape-crash)
+        self.full_res_flow = full_res_flow
         self.augmentor = (
             FlowAugmentor(**aug_params, rng=rng) if aug_params is not None else None
         )
@@ -138,7 +144,8 @@ class HREMEventFlow:
 
         sample = {
             "names": rec["names"],
-            "flow": meshflow,  # [mesh, mesh, 2]
+            "flow": fflow if (self.full_res_flow and self.type == "train")
+            else meshflow,  # [mesh, mesh, 2] (or dense [H, W, 2])
             "fflow": fflow,  # [H, W, 2]
         }
         if self.raw_events:

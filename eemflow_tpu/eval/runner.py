@@ -382,3 +382,103 @@ class ResearchTester(Tester):
                 break
         self._log(f"wrote {n} DSEC submission files to {out_dir}")
         return n
+
+    def inference_warp_loss(self, dataset, stride: int = 10,
+                            max_samples: Optional[int] = None) -> float:
+        """Probe-point flow error (reference ``inference_img_warp_loss``,
+        ``test_mvsec.py:753-851``): per sample, the mean L2 difference
+        between GT and estimated flow at the 16 centers of a 4×4 grid of
+        image cells ("FWL" in the reference log); returns the sequence mean."""
+        loss_sum = 0.0
+        iters = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            flow_est = self.run_sample(sample)
+            flow_gt = np.asarray(sample["flow"])
+            h, w = flow_gt.shape[:2]
+            ys = (np.arange(4) + 0.5) * (h // 4)
+            xs = (np.arange(4) + 0.5) * (w // 4)
+            yy, xx = np.meshgrid(ys.astype(int), xs.astype(int), indexing="ij")
+            diff = flow_gt[yy.ravel(), xx.ravel()] - flow_est[yy.ravel(), xx.ravel()]
+            fwl = float(np.mean(np.linalg.norm(diff, axis=-1)))
+            loss_sum += fwl
+            iters += 1
+            if max_samples is not None and iters >= max_samples:
+                break
+        mean_fwl = loss_sum / max(iters, 1)
+        self._log(f"Mean FWL: {mean_fwl:.6f} ({iters} samples)")
+        return mean_fwl
+
+    def test_multi_key(self, dataset, stride: int = 1,
+                       max_samples: Optional[int] = None):
+        """Key-map density study (reference ``test_multi_key``,
+        ``test_mvsec.py:854-1005``): for enhancement-frontend models whose
+        ``maps`` output carries per-view key/enhanced volumes, log per
+        sample the input event density, the enhanced-map density and the
+        AEE; writes ``key_density.csv`` (the reference writes xlsx) and
+        returns (mean AEE, rows)."""
+        def density(a):
+            return float((np.abs(np.asarray(a)).sum(-1) > 0).mean())
+
+        fam = self.family
+        model = self.model
+
+        def fwd_with_maps(v, batch):
+            args = fam.model_args(batch)
+            maps, flows = model.apply(v, *args)
+            return maps, fam.flow_est((maps, flows))
+
+        fwd = jax.jit(fwd_with_maps)
+        rows = []
+        AEE_sum = 0.0
+        iters = 0
+        for idx in range(len(dataset)):
+            if idx % stride:
+                continue
+            sample = dataset[idx]
+            batch = {
+                k: jnp.asarray(sample[k])[None]
+                for k in _INPUT_KEYS
+                if k in sample and sample[k] is not None
+            }
+            maps, flow = fwd(self.variables, batch)
+            flow_est = np.asarray(flow)[0]
+            aee, *_ = flow_error(
+                np.asarray(sample["flow"]), flow_est,
+                event_img=np.squeeze(np.asarray(sample.get("event_valid")))
+                if sample.get("event_valid") is not None else None,
+                is_car=self.is_car,
+                evaluation_type=getattr(dataset, "evaluation_type", "dense"),
+            )
+            # finest enhanced/key map, view 1 (maps is either a (m1, m2)
+            # pair or a multi-scale list of pairs, finest last)
+            key_map = maps
+            if (isinstance(key_map, (list, tuple)) and key_map
+                    and isinstance(key_map[-1], (list, tuple))):
+                key_map = key_map[-1]  # multi-scale list of pairs → finest
+            if isinstance(key_map, (list, tuple)):
+                key_map = key_map[0]  # (view1, view2) → view 1
+            map_den = density(key_map)
+            ev_den = density(sample["event_volume_old"])
+            row = [f"{idx}", ev_den, map_den, f"{aee:.3f}"]
+            if sample.get("d_event_volume_old") is not None:
+                row.insert(2, density(sample["d_event_volume_old"]))
+            rows.append(row)
+            AEE_sum += aee
+            iters += 1
+            if max_samples is not None and iters >= max_samples:
+                break
+        if self.save_path is not None:
+            os.makedirs(self.save_path, exist_ok=True)
+            with open(os.path.join(self.save_path, "key_density.csv"),
+                      "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["name", "input", "unet_out", "AEE"]
+                           if len(rows[0]) == 4 else
+                           ["name", "input", "dense_event", "unet_out", "AEE"])
+                w.writerows(rows)
+        mean_aee = AEE_sum / max(iters, 1)
+        self._log(f"test_multi_key: mean AEE {mean_aee:.6f} ({iters} samples)")
+        return mean_aee, rows

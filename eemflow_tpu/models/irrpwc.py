@@ -1,5 +1,9 @@
 """IRR-PWC — iterative-residual PWC-Net adapted to event voxels
-(reference ``model/IRRPWC/pwcnet_irr.py`` + ``pwc_modules.py``).
+(reference ``model/IRRPWC/pwcnet_irr.py`` + ``pwc_modules.py``), plus the
+full PWC variant family (``pwcnet{,_bi,_occ,_occ_bi,_irr_bi,_irr_occ,
+_irr_occ_bi}.py`` — one configurable ``PWCFamilyNet``), the combined
+``IRR_PWC.py`` net (``IRRPWCOcc``) and the MIMO-UNet-fronted
+``unite_pwcnet_irr.py`` (``UnitePWCNet``).
 
 6-level stride-2 conv pyramid (5→16→32→64→96→128→196 channels, coarse
 first); at each of the 5 coarsest levels: warp the second-view features by
@@ -394,3 +398,187 @@ class IRRPWCOcc(nn.Module):
                 )
 
         return (occ_f, occ_b), preds
+
+
+class PWCFamilyNet(nn.Module):
+    """The PWC variant family in one module (reference
+    ``model/IRRPWC/pwcnet*.py``).  Flags → files:
+
+      * ``irr=False``: per-level FlowEstimatorDense (level 0 sees the bare
+        cost volume; deeper levels corr+features+flow), context network at
+        the output level only, flow passed between levels un-rescaled —
+        ``pwcnet.py:23-99`` (+``_bi``/``_occ``/``_occ_bi``).
+      * ``irr=True``: ONE shared estimator + per-level 1×1 feature reducers
+        (196/128/96/64/32 → 32), ``rescale_flow`` to local units around the
+        estimator, context refinement at every level —
+        ``pwcnet_irr_bi.py`` / ``pwcnet_irr_occ.py`` / ``pwcnet_irr_occ_bi.py``.
+      * ``bi``: a backward direction through the same estimators.
+      * ``occ``: mirrored occlusion estimators (out_ch=1).
+
+    ``__call__(ev1, ev2) → (maps, preds)``: preds = full-res forward flows
+    (÷div_flow) coarse→fine; maps = (occ_f, occ_b | None) when ``occ``
+    else the raw inputs.  (``pwcnet_irr.py`` itself is ``PWCNet`` above;
+    ``IRR_PWC.py`` is ``IRRPWCOcc`` below.)
+    """
+
+    n_first_channels: int = 5
+    div_flow: float = 0.05
+    search_range: int = 4
+    output_level: int = 4
+    irr: bool = False
+    bi: bool = False
+    occ: bool = False
+
+    @nn.compact
+    def __call__(self, events1, events2, train: bool = False):
+        B, H, W, _ = events1.shape
+        num_chs = (self.n_first_channels, 16, 32, 64, 96, 128, 196)
+        fe = FeatureExtractor(num_chs, name="feature_pyramid_extractor")
+        x1_pyr = fe(events1)
+        x2_pyr = fe(events2)
+
+        n_lv = self.output_level + 1
+        if self.irr:
+            flow_est = [FlowEstimatorDense(2, name="flow_estimators")] * n_lv
+            contexts = [ContextNetwork(2, name="context_networks")] * n_lv
+            conv1x1 = [
+                ConvRelu(32, kernel_size=1, padding=0, name=f"conv_1x1_{l}")
+                for l in range(n_lv)
+            ]
+            if self.occ:
+                occ_est = [FlowEstimatorDense(1, name="occ_estimators")] * n_lv
+                occ_ctx = [ContextNetwork(1, name="occ_context_networks")] * n_lv
+        else:
+            flow_est = [
+                FlowEstimatorDense(2, name=f"flow_estimators_{l}")
+                for l in range(n_lv)
+            ]
+            contexts = [None] * (n_lv - 1) + [
+                ContextNetwork(2, name="context_networks")
+            ]
+            if self.occ:
+                occ_est = [
+                    FlowEstimatorDense(1, name=f"occ_estimators_{l}")
+                    for l in range(n_lv)
+                ]
+                occ_ctx = [None] * (n_lv - 1) + [
+                    ContextNetwork(1, name="context_networks_occ")
+                ]
+
+        def zeros(ch):
+            return jnp.zeros(x1_pyr[0].shape[:3] + (ch,), events1.dtype)
+
+        flow_f, flow_b = zeros(2), zeros(2)
+        occ_f, occ_b = zeros(1), zeros(1)
+        preds = []
+        for l, (x1, x2) in enumerate(zip(x1_pyr, x2_pyr)):
+            if l == 0:
+                x2_warp, x1_warp = x2, x1
+            else:
+                flow_f = resize_bilinear(flow_f, x1.shape[1:3], align_corners=True)
+                x2_warp = pwc_warp(x2, flow_f, H, W, self.div_flow)
+                if self.occ:
+                    occ_f = resize_bilinear(occ_f, x1.shape[1:3], align_corners=True)
+                if self.bi:
+                    flow_b = resize_bilinear(flow_b, x2.shape[1:3], align_corners=True)
+                    x1_warp = pwc_warp(x1, flow_b, H, W, self.div_flow)
+                    if self.occ:
+                        occ_b = resize_bilinear(
+                            occ_b, x2.shape[1:3], align_corners=True
+                        )
+
+            corr_f = leaky_relu01(local_correlation(x1, x2_warp, self.search_range))
+            if self.bi:
+                corr_b = leaky_relu01(
+                    local_correlation(x2, x1_warp, self.search_range)
+                )
+
+            if self.irr:
+                flow_f = rescale_flow(flow_f, self.div_flow, W, H, to_local=True)
+                x1_in = conv1x1[l](x1)
+                if self.bi:
+                    flow_b = rescale_flow(flow_b, self.div_flow, W, H, to_local=True)
+                    x2_in = conv1x1[l](x2)
+            else:
+                x1_in, x2_in = x1, x2
+
+            def run_arm(est, ctx, corr, feat, prev, use_feat):
+                x_in = corr if not use_feat else jnp.concatenate(
+                    [corr, feat, prev], axis=-1
+                )
+                x_intm, out = est(x_in)
+                if not use_feat:  # level 0 non-irr: estimator output IS the field
+                    new = out
+                else:
+                    new = prev + out
+                if ctx is not None:
+                    new = new + ctx(jnp.concatenate([x_intm, new], axis=-1))
+                return new
+
+            use_feat = self.irr or l > 0
+            flow_f = run_arm(flow_est[l], contexts[l], corr_f, x1_in, flow_f, use_feat)
+            if self.bi:
+                flow_b = run_arm(
+                    flow_est[l], contexts[l], corr_b, x2_in, flow_b, use_feat
+                )
+            if self.occ:
+                occ_f = run_arm(occ_est[l], occ_ctx[l], corr_f, x1_in, occ_f, use_feat)
+                if self.bi:
+                    occ_b = run_arm(
+                        occ_est[l], occ_ctx[l], corr_b, x2_in, occ_b, use_feat
+                    )
+
+            if self.irr:
+                flow_f = rescale_flow(flow_f, self.div_flow, W, H, to_local=False)
+                if self.bi:
+                    flow_b = rescale_flow(flow_b, self.div_flow, W, H, to_local=False)
+
+            preds.append(
+                resize_bilinear(flow_f, (H, W), align_corners=True)
+                * (1.0 / self.div_flow)
+            )
+            if l == self.output_level:
+                break
+
+        if self.occ:
+            maps = (
+                resize_bilinear(occ_f, (H, W), align_corners=True),
+                resize_bilinear(occ_b, (H, W), align_corners=True)
+                if self.bi
+                else None,
+            )
+        else:
+            maps = (events1, events2)
+        return maps, preds
+
+
+class UnitePWCNet(nn.Module):
+    """unite_pwcnet_irr (reference ``model/IRRPWC/unite_pwcnet_irr.py``):
+    MIMO-UNet(-little) event-density enhancement of both volumes, selective
+    -kernel fusion with the raw volumes, then the IRR-PWC flow path.
+    maps = the multi-scale enhanced volumes (finest = the SK-fused pair,
+    reference :61-62,112-118); preds = IRR-PWC full-res flows."""
+
+    n_first_channels: int = 5
+    div_flow: float = 0.05
+
+    @nn.compact
+    def __call__(self, events1, events2, train: bool = False):
+        from eemflow_tpu.models.sknet import SKFuse
+        from eemflow_tpu.models.unet import MIMOUNet
+
+        # reference uses MIMOUNet_little (module missing upstream); our
+        # reimplementation's num_res=1 is the documented 'little' setting
+        unet = MIMOUNet(out_ch=self.n_first_channels, num_res=1, name="unet")
+        outs1 = unet(events1, with_res=False, train=train)
+        outs2 = unet(events2, with_res=False, train=train)
+        sk = SKFuse(name="unet_sk")
+        x1 = sk(events1, outs1[-1])
+        x2 = sk(events2, outs2[-1])
+
+        _, preds = PWCNet(
+            self.n_first_channels, self.div_flow, name="pwc"
+        )(x1, x2, train=train)
+        maps = [(o1, o2) for o1, o2 in zip(outs1, outs2)]
+        maps[-1] = (x1, x2)
+        return maps, preds

@@ -52,7 +52,20 @@ EXPECTED_MODELS = (
     "skflow", "irrpwc", "irrpwc_occ", "dceiflow", "steflow", "spikeflownet",
     "unet", "unet_l", "unet_little", "mimo_unet", "unite_unet_raft",
     "unite_densectx_raft", "unite_mimounet_raft", "unite_denoise_raft",
+    # full IRR-PWC variant surface (model/IRRPWC/*.py)
+    "flownet1s", "flownet1s_irr", "flownet1s_irr_bi", "flownet1s_irr_occ",
+    "flownet1s_irr_occ_bi", "irr_flownet", "pwcnet", "pwcnet_bi",
+    "pwcnet_occ", "pwcnet_occ_bi", "pwcnet_irr_bi", "pwcnet_irr_occ",
+    "pwcnet_irr_occ_bi", "unite_pwcnet_irr",
 )
+
+
+def _cfg(ctor, **preset):
+    """Partial-application helper that keeps the flax module ctor signature
+    (functools.partial of a Module class is itself a valid ctor)."""
+    import functools
+
+    return functools.partial(ctor, **preset)
 
 
 def _populate() -> None:
@@ -68,7 +81,13 @@ def _populate() -> None:
     from eemflow_tpu.models.gma_rnn import RAFTGMA_RNN
     from eemflow_tpu.models.gmflow import GMFlow
     from eemflow_tpu.models.gmflownet import GMFlowNetModel
-    from eemflow_tpu.models.irrpwc import IRRPWCOcc, PWCNet
+    from eemflow_tpu.models.flownet1s import FlowNet1S, IRRFlowNet
+    from eemflow_tpu.models.irrpwc import (
+        IRRPWCOcc,
+        PWCFamilyNet,
+        PWCNet,
+        UnitePWCNet,
+    )
     from eemflow_tpu.models.kpaflow import KPAFlow
     from eemflow_tpu.models.raft import RAFT
     from eemflow_tpu.models.skflow import SKFlow
@@ -108,6 +127,20 @@ def _populate() -> None:
             "unite_densectx_raft": UNetDenseCTX,
             "unite_mimounet_raft": MIMOUNetERAFT,
             "unite_denoise_raft": DenoiseERAFT,
+            "flownet1s": FlowNet1S,
+            "flownet1s_irr": _cfg(FlowNet1S, irr=True),
+            "flownet1s_irr_bi": _cfg(FlowNet1S, irr=True, bi=True),
+            "flownet1s_irr_occ": _cfg(FlowNet1S, irr=True, occ=True),
+            "flownet1s_irr_occ_bi": _cfg(FlowNet1S, irr=True, bi=True, occ=True),
+            "irr_flownet": IRRFlowNet,
+            "pwcnet": PWCFamilyNet,
+            "pwcnet_bi": _cfg(PWCFamilyNet, bi=True),
+            "pwcnet_occ": _cfg(PWCFamilyNet, occ=True),
+            "pwcnet_occ_bi": _cfg(PWCFamilyNet, bi=True, occ=True),
+            "pwcnet_irr_bi": _cfg(PWCFamilyNet, irr=True, bi=True),
+            "pwcnet_irr_occ": _cfg(PWCFamilyNet, irr=True, occ=True),
+            "pwcnet_irr_occ_bi": _cfg(PWCFamilyNet, irr=True, bi=True, occ=True),
+            "unite_pwcnet_irr": UnitePWCNet,
         }
     )
     missing = set(EXPECTED_MODELS) - set(MODEL_REGISTRY)

@@ -254,6 +254,21 @@ MODEL_FAMILY: Dict[str, str] = {
     "skflow": "two_volume",
     "irrpwc": "two_volume",
     "irrpwc_occ": "two_volume",
+    # full IRR-PWC variant surface (model/IRRPWC/*.py) — all two-volume
+    "pwcnet": "two_volume",
+    "pwcnet_bi": "two_volume",
+    "pwcnet_occ": "two_volume",
+    "pwcnet_occ_bi": "two_volume",
+    "pwcnet_irr_bi": "two_volume",
+    "pwcnet_irr_occ": "two_volume",
+    "pwcnet_irr_occ_bi": "two_volume",
+    "flownet1s": "two_volume",
+    "flownet1s_irr": "two_volume",
+    "flownet1s_irr_bi": "two_volume",
+    "flownet1s_irr_occ": "two_volume",
+    "flownet1s_irr_occ_bi": "two_volume",
+    "irr_flownet": "two_volume",
+    "unite_pwcnet_irr": "two_volume",
     "raft": "two_volume",
     "unite_denoise_raft": "two_volume",
     "gmflownet": "gmflownet",

@@ -294,3 +294,25 @@ def test_mvsec_with_dense_and_time_stack(tmp_path, monkeypatch):
     s3 = ds3[0]
     assert s3["event_volume"].shape[-2:] == (5, 4)
     assert "d_event_volume_new" in s3
+
+
+def test_hrem_full_res_flow_labels(tmp_path):
+    """full_res_flow=True: train labels are the dense .flo flow, enabling
+    full-resolution models on HREM (the reference's HREM trainer only fits
+    EEMFlow's mesh head; everything else would shape-crash)."""
+    from eemflow_tpu.data.hrem import HREMEventFlow
+
+    root = str(tmp_path)
+    _write_hrem_sample(os.path.join(root, "train", "dt1", "00000"))
+
+    class SmallHREM(HREMEventFlow):
+        image_width = 96
+        image_height = 64
+
+    ds = SmallHREM(root, dt="dt1", train=True, full_res_flow=True)
+    s = ds[0]
+    assert s["flow"].shape == (64, 96, 2)
+    assert s["valid"].shape == (64, 96)
+    # default (meshflow) unchanged
+    ds_mesh = SmallHREM(root, dt="dt1", train=True)
+    assert ds_mesh[0]["flow"].shape == (16, 16, 2)

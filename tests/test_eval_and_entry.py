@@ -131,3 +131,47 @@ def test_inspect_utils():
     assert out.dtype == np.uint8 and out.max() == 255
     flops = compute_model_flops(lambda a, b: m.apply(v, a, b)[1][-1], x, x)
     assert flops["gflops"] > 0
+
+
+def test_research_modes_warp_loss_and_multi_key(tmp_path):
+    """inference_warp_loss (probe-point FWL, reference test_mvsec.py:753)
+    and test_multi_key (key-map density CSV, test_mvsec.py:854)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    class ZeroModel(nn.Module):
+        @nn.compact
+        def __call__(self, e1, e2, train=False):
+            s = self.param("s", nn.initializers.zeros, (1,))
+            return (e1, e2), [jnp.zeros(e1.shape[:3] + (2,)) + s]
+
+    class DS:
+        evaluation_type = "dense"
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {
+                "event_volume_old": np.ones((16, 16, 5), np.float32),
+                "event_volume_new": np.ones((16, 16, 5), np.float32),
+                "flow": np.full((16, 16, 2), 3.0, np.float32),
+                "event_valid": np.ones((16, 16, 1), np.float32),
+            }
+
+    from eemflow_tpu.eval.runner import ResearchTester
+
+    model = ZeroModel()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 5)), jnp.zeros((1, 16, 16, 5))
+    )
+    t = ResearchTester(model, variables, save_path=str(tmp_path))
+    # zero prediction vs constant (3,3) GT at every probe point → FWL = 3√2
+    fwl = t.inference_warp_loss(DS(), stride=1)
+    np.testing.assert_allclose(fwl, 3 * np.sqrt(2), rtol=1e-6)
+
+    mean_aee, rows = t.test_multi_key(DS(), stride=1)
+    np.testing.assert_allclose(mean_aee, 3 * np.sqrt(2), rtol=1e-5)
+    assert len(rows) == 2 and rows[0][1] == 1.0  # input density (all ones)
+    assert (tmp_path / "key_density.csv").exists()

@@ -294,3 +294,63 @@ def test_gma_rnn_smoke():
     _, preds = jax.jit(lambda v, s: model.apply(v, s))(variables, segs)
     assert len(preds) == 2  # (S-1) segments × 1 iter
     assert preds[-1].shape == (2, 32, 32, 2)
+
+
+IRRPWC_FAMILY = [
+    # (registry name, expected #preds)
+    ("flownet1s", 5),
+    ("flownet1s_irr", 3),
+    ("flownet1s_irr_bi", 3),
+    ("flownet1s_irr_occ", 3),
+    ("flownet1s_irr_occ_bi", 3),
+    ("irr_flownet", 3),
+    ("pwcnet", 5),
+    ("pwcnet_bi", 5),
+    ("pwcnet_occ", 5),
+    ("pwcnet_occ_bi", 5),
+    ("pwcnet_irr_bi", 5),
+    ("pwcnet_irr_occ", 5),
+    ("pwcnet_irr_occ_bi", 5),
+    ("unite_pwcnet_irr", 5),
+]
+
+
+@pytest.mark.parametrize("name,n_preds", IRRPWC_FAMILY)
+def test_irrpwc_family_forward(name, n_preds):
+    """Full IRR-PWC variant surface (reference model/IRRPWC/*.py): forward
+    shape/finiteness on event-voxel pairs.  Eager apply — jit compile of
+    the 50M-param FlowNetS graphs dominates on the CPU test host."""
+    from eemflow_tpu.models import get_model
+
+    model = get_model(name)
+    rng = jax.random.PRNGKey(0)
+    e1 = jax.random.normal(rng, (1, 64, 64, 5))
+    e2 = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 5))
+    variables = model.init(rng, e1, e2)
+    maps, preds = model.apply(variables, e1, e2)
+    assert len(preds) == n_preds, name
+    assert preds[-1].shape == (1, 64, 64, 2)
+    assert bool(jnp.isfinite(preds[-1]).all())
+    if "occ" in name:  # occlusion logits surfaced at full res
+        assert maps[0].shape == (1, 64, 64, 1)
+
+
+def test_irrpwc_family_grad():
+    """Backward through the shared-estimator + occ + bi path: finite,
+    nonzero grads (covers warp/refine custom plumbing)."""
+    from eemflow_tpu.models import get_model
+
+    model = get_model("pwcnet_irr_occ_bi")
+    rng = jax.random.PRNGKey(0)
+    e1 = jax.random.normal(rng, (1, 64, 64, 5))
+    e2 = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 5))
+    variables = model.init(rng, e1, e2)
+
+    def loss_fn(v):
+        _, preds = model.apply(v, e1, e2)
+        return sum(jnp.abs(p).mean() for p in preds)
+
+    grads = jax.grad(loss_fn)(variables)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)

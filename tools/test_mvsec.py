@@ -32,7 +32,7 @@ def main() -> None:
     p.add_argument(
         "--mode", default="standard",
         choices=["standard", "save_flow", "low_epe", "warp", "density",
-                 "dsec_submission"],
+                 "dsec_submission", "warp_loss", "multi_key"],
         help="research evaluation modes (reference test_mvsec.py research "
         "methods; 'standard' = the protocol eval)",
     )
@@ -134,6 +134,12 @@ def _run_research_mode(tester, dataset, args, save_path: str) -> None:
     elif args.mode == "dsec_submission":
         tester.save_dsec_submission(dataset, out, stride=args.stride,
                                     max_samples=args.max_samples)
+    elif args.mode == "warp_loss":
+        tester.inference_warp_loss(dataset, stride=args.stride,
+                                   max_samples=args.max_samples)
+    elif args.mode == "multi_key":
+        tester.test_multi_key(dataset, stride=args.stride,
+                              max_samples=args.max_samples)
 
 
 if __name__ == "__main__":

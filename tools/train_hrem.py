@@ -108,6 +108,7 @@ def main() -> None:
         rng=np.random.default_rng(args.seed),
         raw_events=args.device_voxelize,
         bucket_size=args.bucket_size,
+        full_res_flow=args.full_res_flow,
     )
     logger.write_line(f"dataset: {len(dataset)} samples", True)
 
