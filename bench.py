@@ -195,7 +195,7 @@ def main() -> None:
     try:
         from eemflow_tpu.models.eraft import ERAFT
 
-        em = ERAFT()
+        em = ERAFT(upsample_all=False)  # eval mode: final-only convex upsample
         ebufs = tuple(
             jnp.asarray(rng.standard_normal((1, 512, 960, bins)), jnp.float32)
             for _ in range(4)

@@ -34,7 +34,15 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = ckpt
+    if isinstance(ckpt, dict):
+        # reference wraps under 'state_dict' (train_EEMFlow_HREM.py:128);
+        # upstream E-RAFT releases wrap under 'model'
+        for wrapper in ("state_dict", "model"):
+            inner = ckpt.get(wrapper)
+            if isinstance(inner, dict):
+                sd = inner
+                break
     sd = strip_module_prefix(sd)
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in sd.items()}
 

@@ -216,6 +216,7 @@ class GMFlowNetModel(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     pad_rate: int = 8
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None,
@@ -272,7 +273,7 @@ class GMFlowNetModel(nn.Module):
         )
         flows = raft_refine(
             update_block, pyramid, net, inp, coords0, coords1, n_iters,
-            self.corr_radius,
+            self.corr_radius, upsample_all=self.upsample_all,
         )
         flows = padder.unpad(flows)
         if train:

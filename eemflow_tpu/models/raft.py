@@ -25,6 +25,7 @@ class RAFT(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     pad_rate: int = 8
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
     normalize_input: bool = True
 
     @nn.compact
@@ -58,6 +59,6 @@ class RAFT(nn.Module):
         )
         flows = raft_refine(
             update_block, pyramid, net, inp, coords0, coords1, n_iters,
-            self.corr_radius,
+            self.corr_radius, upsample_all=self.upsample_all,
         )
         return (image1, image2), padder.unpad(flows)

@@ -41,6 +41,30 @@ def get_model(name: str, **kwargs):
     return MODEL_REGISTRY[name](**kwargs)
 
 
+def get_eval_model(name: str, **kwargs):
+    """Build a model configured for eval throughput.
+
+    RAFT-lineage models get ``upsample_all=False``: the convex upsample —
+    a measured ~20% of the ERAFT forward — runs once on the final iterate
+    instead of inside every refinement iteration.  The final prediction
+    (the only one eval consumes) is bit-identical, and the parameter tree
+    is unchanged, so checkpoints load either way.  Models without the flag
+    build exactly as ``get_model``.
+    """
+    _populate()
+    name = ALIASES.get(name, name)
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown model '{name}'. Available: {sorted(MODEL_REGISTRY)}"
+        )
+    ctor = MODEL_REGISTRY[name]
+    cls = getattr(ctor, "func", ctor)  # unwrap functools.partial presets
+    fields = getattr(cls, "__dataclass_fields__", {})
+    if "upsample_all" in fields and "upsample_all" not in kwargs:
+        kwargs["upsample_all"] = False
+    return ctor(**kwargs)
+
+
 # every model the framework ships (reference CLI registry breadth,
 # train_EEMFlow_HREM.py:30-55 + per-family engines).  Imports are NOT
 # guarded: a broken model module must fail loudly, not vanish from the

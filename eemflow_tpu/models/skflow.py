@@ -91,6 +91,7 @@ class SKFlow(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     pad_rate: int = 8
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -117,18 +118,26 @@ class SKFlow(nn.Module):
         radius = self.corr_radius
 
         def body(mdl, carry, _):
-            net, coords1 = carry
+            net, coords1, _ = carry
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_corr_pyramid(pyramid, coords1, radius).astype(net.dtype)
             flow = (coords1 - coords0).astype(net.dtype)
             net, up_mask, delta_flow = mdl(net, inp, corr, flow, attention)
             coords1 = coords1 + delta_flow
-            flow_up = convex_upsample_flow(coords1 - coords0, up_mask)
-            return (net, coords1), flow_up
+            flow_up = (
+                convex_upsample_flow(coords1 - coords0, up_mask)
+                if self.upsample_all else None
+            )
+            return (net, coords1, up_mask), flow_up
 
         scan = nn.scan(
             body, variable_broadcast="params", split_rngs={"params": False},
             length=n_iters,
         )
-        (_, _), flows = scan(update_block, (net, coords0), None)
+        mask0 = jnp.zeros(coords0.shape[:3] + (64 * 9,), net.dtype)
+        (_, coords1, up_mask), flows = scan(
+            update_block, (net, coords0, mask0), None
+        )
+        if not self.upsample_all:  # final-only convex upsample (eval mode)
+            flows = convex_upsample_flow(coords1 - coords0, up_mask)[None]
         return (events1, events2), padder.unpad(flows)

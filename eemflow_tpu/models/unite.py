@@ -46,6 +46,7 @@ class _RaftTail(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     cnet_norm: str = "instance"
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, image1, image2, ctx_image=None, n_iters=None, train=False):
@@ -72,7 +73,7 @@ class _RaftTail(nn.Module):
         )
         return raft_refine(
             update_block, pyramid, net, inp, coords0, coords0, n_iters,
-            self.corr_radius,
+            self.corr_radius, upsample_all=self.upsample_all,
         )
 
 
@@ -82,6 +83,7 @@ class UNetERAFT(nn.Module):
     n_first_channels: int = 5
     iters: int = 12
     pad_rate: int = 32
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -96,7 +98,8 @@ class UNetERAFT(nn.Module):
         image1 = sk(im1, u1)
         image2 = sk(im2, u2)
 
-        flows = _RaftTail(self.n_first_channels, self.iters, name="raft")(
+        flows = _RaftTail(self.n_first_channels, self.iters,
+                          upsample_all=self.upsample_all, name="raft")(
             image1, image2, n_iters=iters, train=train
         )
         flows = padder.unpad(flows)
@@ -110,6 +113,7 @@ class UNetDenseCTX(nn.Module):
     n_first_channels: int = 5
     iters: int = 12
     pad_rate: int = 32
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, d_events1=None, d_events2=None,
@@ -121,7 +125,8 @@ class UNetDenseCTX(nn.Module):
         im1, im2 = padder.pad(events1, events2)
         dim1, _ = padder.pad(d_events1, d_events2)
 
-        flows = _RaftTail(self.n_first_channels, self.iters, name="raft")(
+        flows = _RaftTail(self.n_first_channels, self.iters,
+                          upsample_all=self.upsample_all, name="raft")(
             im1, im2, ctx_image=dim1, n_iters=iters, train=train
         )
         flows = padder.unpad(flows)
@@ -137,6 +142,7 @@ class MIMOUNetERAFT(nn.Module):
     pad_rate: int = 32
     with_res: bool = True
     use_sk: bool = False
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -153,7 +159,8 @@ class MIMOUNetERAFT(nn.Module):
             image1 = sk(im1, image1)
             image2 = sk(im2, image2)
 
-        flows = _RaftTail(self.n_first_channels, self.iters, name="raft")(
+        flows = _RaftTail(self.n_first_channels, self.iters,
+                          upsample_all=self.upsample_all, name="raft")(
             image1, image2, n_iters=iters, train=train
         )
         flows = padder.unpad(flows)
@@ -174,6 +181,7 @@ class DenoiseERAFT(nn.Module):
     filter_size: int = 3
     iters: int = 12
     pad_rate: int = 32
+    upsample_all: bool = True  # False = final-only convex upsample (eval)
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -194,7 +202,8 @@ class DenoiseERAFT(nn.Module):
         image1 = max_filter(k1)
         image2 = max_filter(k2)
 
-        flows = _RaftTail(self.key_kernels, self.iters, name="raft")(
+        flows = _RaftTail(self.key_kernels, self.iters,
+                          upsample_all=self.upsample_all, name="raft")(
             image1, image2, n_iters=iters, train=train
         )
         flows = padder.unpad(flows)

@@ -45,5 +45,37 @@ def test_eraft_matches_torch_oracle():
     np.testing.assert_allclose(got[-1], ref[-1], atol=5e-3)
 
 
+def test_eraft_final_only_upsample_parity():
+    """Eval-throughput mode (``upsample_all=False``: convex-upsample only the
+    final iterate) must return exactly the same final flow as the default
+    all-iterations mode, with an identical parameter tree so checkpoints
+    load either way (``models/registry.get_eval_model``)."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    ev1 = jnp.asarray(rng.standard_normal((1, 40, 56, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 40, 56, 5)), jnp.float32)
+
+    full = ERAFT(n_first_channels=5)
+    variables = full.init(jax.random.PRNGKey(0), ev1, ev2, iters=3)
+
+    from eemflow_tpu.models.registry import get_eval_model
+
+    fast = get_eval_model("eraft", n_first_channels=5)
+    assert fast.upsample_all is False
+    # same param tree: init of the eval-mode model matches
+    fast_vars = fast.init(jax.random.PRNGKey(0), ev1, ev2, iters=3)
+    assert jax.tree_util.tree_structure(fast_vars) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    _, flows_full = full.apply(variables, ev1, ev2, iters=3)
+    _, flows_fast = fast.apply(variables, ev1, ev2, iters=3)
+    assert flows_fast.shape[0] == 1
+    np.testing.assert_array_equal(
+        np.asarray(flows_fast[-1]), np.asarray(flows_full[-1])
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

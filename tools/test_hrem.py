@@ -50,10 +50,10 @@ def main() -> None:
 
     from eemflow_tpu.data.hrem import HREMEventFlow
     from eemflow_tpu.eval.runner import ResearchTester as Tester
-    from eemflow_tpu.models import get_model
+    from eemflow_tpu.models import get_eval_model
     from eemflow_tpu.utils.logger import Logger
 
-    model = get_model(args.model)
+    model = get_eval_model(args.model)
 
     if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
         from eemflow_tpu.compat.torch_loader import (

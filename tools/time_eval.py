@@ -41,12 +41,12 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _fwd_throughput
-    from eemflow_tpu.models import get_model
+    from eemflow_tpu.models import get_eval_model
     from eemflow_tpu.train.trainer import cast_floating
 
     h, w = args.size
     k1, k2 = args.k if args.k else (4, 24)
-    model = get_model(args.model)
+    model = get_eval_model(args.model)
     rng = np.random.default_rng(0)
     bufs = tuple(
         jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)),
