@@ -104,6 +104,7 @@ class RAFTGMA(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 32
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
     def __call__(
@@ -125,8 +126,8 @@ class RAFTGMA(nn.Module):
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
         cnet = BasicEncoder(
-            self.hidden_dim + self.context_dim, "batch", self.n_first_channels,
-            name="cnet",
+            self.hidden_dim + self.context_dim, self.cnet_norm,
+            self.n_first_channels, name="cnet",
         )(im1, train=train)
         net = nn.tanh(cnet[..., : self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim :])

@@ -217,6 +217,7 @@ class GMFlowNetModel(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 8
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None,
@@ -246,7 +247,7 @@ class GMFlowNetModel(nn.Module):
             corr_map, axis=1
         )
 
-        cnet = BasicEncoder(256, "batch", self.n_first_channels, name="cnet")(
+        cnet = BasicEncoder(256, self.cnet_norm, self.n_first_channels, name="cnet")(
             im1, train=train
         )
         net = nn.tanh(cnet[..., :128])

@@ -81,6 +81,11 @@ EXPECTED_MODELS = (
     "flownet1s_irr_occ_bi", "irr_flownet", "pwcnet", "pwcnet_bi",
     "pwcnet_occ", "pwcnet_occ_bi", "pwcnet_irr_bi", "pwcnet_irr_occ",
     "pwcnet_irr_occ_bi", "unite_pwcnet_irr",
+    # MIMO-UNet-little + SK frontends for the zoo families
+    # (unite_GMA/unite_gmflow/unite_gmflownet/unite_flowformer/unite_sknet)
+    "unite_gma", "unite_gma_in", "unite_gmflow", "unite_gmflownet",
+    "unite_gmflownet_in", "unite_flowformer", "unite_sknet",
+    "unite_sknet_in",
 )
 
 
@@ -123,6 +128,7 @@ def _populate() -> None:
         UNetDenseCTX,
         UNetERAFT,
     )
+    from eemflow_tpu.models.unite_zoo import UniteZoo
 
     MODEL_REGISTRY.update(
         {
@@ -165,6 +171,19 @@ def _populate() -> None:
             "pwcnet_irr_occ": _cfg(PWCFamilyNet, irr=True, occ=True),
             "pwcnet_irr_occ_bi": _cfg(PWCFamilyNet, irr=True, bi=True, occ=True),
             "unite_pwcnet_irr": UnitePWCNet,
+            # RAFTGMARES is the one unite variant with the residual frontend
+            # (unite_GMA.py:110-114); _in = instance-norm cnet
+            "unite_gma": _cfg(UniteZoo, backbone="gma", with_res=True),
+            "unite_gma_in": _cfg(UniteZoo, backbone="gma", with_res=True,
+                                 cnet_norm="instance"),
+            "unite_gmflow": _cfg(UniteZoo, backbone="gmflow"),
+            "unite_gmflownet": _cfg(UniteZoo, backbone="gmflownet"),
+            "unite_gmflownet_in": _cfg(UniteZoo, backbone="gmflownet",
+                                       cnet_norm="instance"),
+            "unite_flowformer": _cfg(UniteZoo, backbone="flowformer"),
+            "unite_sknet": _cfg(UniteZoo, backbone="skflow"),
+            "unite_sknet_in": _cfg(UniteZoo, backbone="skflow",
+                                   cnet_norm="instance"),
         }
     )
     missing = set(EXPECTED_MODELS) - set(MODEL_REGISTRY)

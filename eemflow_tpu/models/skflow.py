@@ -92,6 +92,7 @@ class SKFlow(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 8
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -104,7 +105,7 @@ class SKFlow(nn.Module):
         fmap1, fmap2 = fnet(im1), fnet(im2)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
-        cnet = BasicEncoder(256, "batch", self.n_first_channels, name="cnet")(
+        cnet = BasicEncoder(256, self.cnet_norm, self.n_first_channels, name="cnet")(
             im1, train=train
         )
         net = nn.tanh(cnet[..., :128])

@@ -7,6 +7,7 @@ from eemflow_tpu.ops.upsample import (
     upflow8,
     convex_upsample_flow,
 )
-from eemflow_tpu.ops.warp import bilinear_sampler, backwarp, backwarp_masked
+from eemflow_tpu.ops.warp import (bilinear_sampler, backwarp, backwarp_masked,
+                                  forward_interpolate)
 from eemflow_tpu.ops.correlation import local_correlation
 from eemflow_tpu.ops.corr_block import build_corr_pyramid, lookup_corr_pyramid

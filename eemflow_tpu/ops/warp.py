@@ -139,3 +139,47 @@ def warp_align_corners(x: jax.Array, flow: jax.Array) -> jax.Array:
     gx, gy = _base_grid(B, H, W, flow.dtype)
     return grid_sample_pixel(x, gx + flow[..., 0], gy + flow[..., 1],
                              align_corners=True)
+
+
+def forward_interpolate(flow: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Forward-splat a flow field to its target positions — the RAFT
+    warm-start primitive (reference ``utils/image_utils.py:53``
+    ``forward_interpolate_pytorch`` via ``grid_sample_values:11``; the
+    scipy-griddata twin lives in every family's utils, e.g.
+    ``model/GMA/utils/utils.py:28``).
+
+    Each source pixel deposits its flow value at ``(x+dx, y+dy)`` with
+    bilinear weights over the four surrounding integer pixels; deposits are
+    accumulated and weight-normalized.  Torch's loop of four ``put_``
+    calls becomes four XLA scatter-adds (the voxelizer's formulation), so
+    the op is jit-able and differentiable.
+
+    Args:  flow [B,H,W,2] (NHWC).
+    Returns: (flow_new [B,H,W,2], valid [B,H,W] bool — True where at least
+    one splat landed; invalid pixels are 0, matching the reference).
+    """
+    B, H, W, _ = flow.shape
+    gx, gy = _base_grid(B, H, W, flow.dtype)
+    dx, dy = flow[..., 0], flow[..., 1]
+    x1 = (gx + dx).reshape(B, -1)
+    y1 = (gy + dy).reshape(B, -1)
+    vals = jnp.stack([dx.reshape(B, -1), dy.reshape(B, -1)], -1)  # [B,N,2]
+
+    def splat_one(x, y, v):
+        acc = jnp.zeros((H * W, 3), v.dtype)  # [:,0:2] values, [:,2] weight
+        ones = jnp.ones_like(x)
+        for xi in (jnp.floor(x), jnp.ceil(x)):
+            for yi in (jnp.floor(y), jnp.ceil(y)):
+                w = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+                inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                idx = jnp.where(inb, (xi + W * yi).astype(jnp.int32), H * W)
+                upd = jnp.concatenate(
+                    [v * w[:, None], (w * ones)[:, None]], -1
+                )
+                acc = acc.at[idx].add(upd, mode="drop")
+        valid = acc[:, 2] > 0
+        out = acc[:, :2] / (acc[:, 2:3] + 1e-15)
+        return out, valid
+
+    out, valid = jax.vmap(splat_one)(x1, y1, vals)
+    return out.reshape(B, H, W, 2), valid.reshape(B, H, W)

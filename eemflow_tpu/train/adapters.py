@@ -275,6 +275,17 @@ MODEL_FAMILY: Dict[str, str] = {
     "unite_unet_raft": "dense_sparse",
     "unite_densectx_raft": "dense_ctx",
     "unite_mimounet_raft": "mimounet",
+    # unite zoo frontends (MIMO-UNet-little + SK over the zoo backbones) —
+    # same 3-scale maps + flows contract, trained like the MIMO-UNet
+    # reconstruction models (reference TrainDenseSparse.train_mimounet_iters)
+    "unite_gma": "mimounet",
+    "unite_gma_in": "mimounet",
+    "unite_gmflow": "mimounet",
+    "unite_gmflownet": "mimounet",
+    "unite_gmflownet_in": "mimounet",
+    "unite_flowformer": "mimounet",
+    "unite_sknet": "mimounet",
+    "unite_sknet_in": "mimounet",
     "dceiflow": "event_image",
     "steflow": "single_volume",
     "spikeflownet": "single_volume",

@@ -86,6 +86,30 @@ def test_unite_variants_smoke():
         assert flows.shape == (2, 1, 64, 64, 2), cls.__name__
 
 
+def test_unite_zoo_frontends_smoke():
+    """MIMO-UNet-little + SK frontend wrappers for the zoo families
+    (reference RAFTGMARES / GMFlowRES / GMFlowNetRES / FlowFormerRES /
+    SKNetRES and their _IN instance-norm-cnet variants)."""
+    from eemflow_tpu.models.registry import get_model
+
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 5)), jnp.float32)
+    # one barebones-iter RAFT-style case + the two non-iterative backbones
+    for name, kwargs in [
+        ("unite_gma", {"upsample_all": False}),
+        ("unite_gmflownet_in", {}),
+        ("unite_sknet", {}),
+    ]:
+        model = get_model(name, **kwargs)
+        assert model.cnet_norm == ("instance" if name.endswith("_in") else "batch")
+        variables = model.init(jax.random.PRNGKey(0), x, x, iters=2)
+        maps, flows = jax.jit(
+            lambda v, a, b, m=model: m.apply(v, a, b, iters=2)
+        )(variables, x, x)
+        assert flows.shape[-3:] == (64, 64, 2), name
+        m1, m2 = maps[-1]
+        assert m1.shape == x.shape and m2.shape == x.shape, name
+
+
 def test_spike_fire_surrogate_gradient():
     from eemflow_tpu.models.spike import if_neuron, spike_fire
 

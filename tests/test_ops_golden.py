@@ -234,5 +234,53 @@ def test_convex_upsample():
     np.testing.assert_allclose(np.asarray(got), to_nhwc(up), atol=5e-5)
 
 
+def test_forward_interpolate_matches_torch():
+    """Forward-splat warm-start op vs a direct port of the reference
+    ``forward_interpolate_pytorch`` (``utils/image_utils.py:53``)."""
+    import torch
+
+    from eemflow_tpu.ops.warp import forward_interpolate
+
+    def grid_sample_values(inp, height, width):
+        ceil = torch.stack([torch.ceil(inp[0]), torch.ceil(inp[1]), inp[2]])
+        floor = torch.stack([torch.floor(inp[0]), torch.floor(inp[1]), inp[2]])
+        z = inp[2].clone()
+        values_ipl = torch.zeros(height * width)
+        weights_acc = torch.zeros(height * width)
+        for x_vals in [floor[0], ceil[0]]:
+            for y_vals in [floor[1], ceil[1]]:
+                in_b = (x_vals < width) & (x_vals >= 0) & (y_vals < height) & (y_vals >= 0)
+                weights = (1 - (inp[0] - x_vals).abs()) * (1 - (inp[1] - y_vals).abs())
+                idx = (x_vals + width * y_vals).long()
+                values_ipl.put_(idx[in_b], (z * weights)[in_b], accumulate=True)
+                weights_acc.put_(idx[in_b], weights[in_b], accumulate=True)
+        valid = (weights_acc > 0).reshape(height, width)
+        vals = (values_ipl / (weights_acc + 1e-15)).reshape(height, width)
+        return vals, valid
+
+    rng = np.random.default_rng(7)
+    B, H, W = 2, 9, 11
+    flow = rng.standard_normal((B, H, W, 2)).astype(np.float32) * 3.0
+
+    import jax
+
+    got, got_valid = jax.jit(forward_interpolate)(jnp.asarray(flow))
+    got = np.asarray(got)
+
+    tflow = torch.from_numpy(flow.transpose(0, 3, 1, 2))
+    dx, dy = tflow[:, 0], tflow[:, 1]
+    y0, x0 = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+    for b in range(B):
+        x1 = (x0 + dx[b]).flatten()
+        y1 = (y0 + dy[b]).flatten()
+        ref_u, valid = grid_sample_values(
+            torch.stack([x1, y1, dx[b].flatten()]), H, W)
+        ref_v, _ = grid_sample_values(
+            torch.stack([x1, y1, dy[b].flatten()]), H, W)
+        np.testing.assert_allclose(got[b, ..., 0], ref_u.numpy(), atol=1e-4)
+        np.testing.assert_allclose(got[b, ..., 1], ref_v.numpy(), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got_valid)[b], valid.numpy())
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
