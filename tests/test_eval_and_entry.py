@@ -175,3 +175,31 @@ def test_research_modes_warp_loss_and_multi_key(tmp_path):
     np.testing.assert_allclose(mean_aee, 3 * np.sqrt(2), rtol=1e-5)
     assert len(rows) == 2 and rows[0][1] == 1.0  # input density (all ones)
     assert (tmp_path / "key_density.csv").exists()
+
+
+def test_stablehlo_export_roundtrip():
+    """Serving export (`tools/export_model.py` path): jax.export of the eval
+    forward serializes and deserializes to an identical function."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from eemflow_tpu.models.registry import get_eval_model
+
+    model = get_eval_model("eemflow")
+    spec = jax.ShapeDtypeStruct((1, 32, 32, 5), jnp.float32)
+    zeros = jnp.zeros(spec.shape, spec.dtype)
+    variables = model.init(jax.random.PRNGKey(0), zeros, zeros)
+
+    def infer(e1, e2):
+        return model.apply(variables, e1, e2)[1][-1].astype(jnp.float32)
+
+    exported = jexport.export(jax.jit(infer))(spec, spec)
+    rt = jexport.deserialize(exported.serialize())
+    rng = np.random.default_rng(0)
+    e1 = jnp.asarray(rng.standard_normal(spec.shape), jnp.float32)
+    e2 = jnp.asarray(rng.standard_normal(spec.shape), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(rt.call(e1, e2)), np.asarray(infer(e1, e2)), atol=1e-5
+    )
