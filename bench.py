@@ -276,6 +276,14 @@ def main() -> None:
         extra["train_steps_per_sec_512x960_b6"] = round(1.0 / step_dt, 3)
         extra["train_frames_per_sec"] = round(B / step_dt, 1)
         extra["input_pipeline_fraction"] = round(host_time / step_dt, 3)
+
+        # bf16 mixed-precision train step (config train.mixed_precision)
+        step = make_train_step(
+            tmodel, tx, preprocess=pre, mixed_precision=True, donate=False
+        )
+        t1 = _fetch_time(make_steps(2), (state, tbatch), reps=5)
+        t2 = _fetch_time(make_steps(12), (state, tbatch), reps=5)
+        extra["train_steps_per_sec_bf16"] = round(10.0 / (t2 - t1), 3)
     except Exception as e:
         extra["train_error"] = repr(e)[:120]
 

@@ -147,7 +147,10 @@ class MIMOUNetERAFT(nn.Module):
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
         B, H, W, _ = events1.shape
-        padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
+        # bottom/right-only padding so the multi-scale maps unpad by exact
+        # prefix crops (fixes the reference's full-res unpad of coarse maps,
+        # model/unite_unet_raft.py:459-462; identical at rate-divisible sizes)
+        padder = InputPadder((H, W), mode="downscale", eval_pad_rate=self.pad_rate)
         im1, im2 = padder.pad(events1, events2)
 
         unet = MIMOUNet(out_ch=self.n_first_channels, name="unet")
@@ -164,9 +167,13 @@ class MIMOUNetERAFT(nn.Module):
             image1, image2, n_iters=iters, train=train
         )
         flows = padder.unpad(flows)
-        maps = [
-            (o1, o2) for o1, o2 in zip(outs1, outs2)
-        ]  # multi-scale enhanced volumes, finest last (reference contract)
+        # multi-scale enhanced volumes, finest last (reference contract);
+        # scale-s maps carry the unpadded content in their [:H//s, :W//s]
+        # prefix (bottom/right-only padding above)
+        maps = []
+        for o1, o2 in zip(outs1, outs2):
+            s = im1.shape[1] // o1.shape[1]
+            maps.append((o1[:, : H // s, : W // s], o2[:, : H // s, : W // s]))
         maps[-1] = (padder.unpad(image1), padder.unpad(image2))
         return maps, flows
 

@@ -88,8 +88,10 @@ class UniteZoo(nn.Module):
     def __call__(self, events1, events2, iters: Optional[int] = None,
                  train: bool = False):
         B, H, W, _ = events1.shape
-        # the frontend downsamples /4; pad for it (backbones re-pad as needed)
-        padder = InputPadder((H, W), mode="chairs", eval_pad_rate=8)
+        # the frontend downsamples /4; pad bottom/right only so the coarse
+        # maps unpad by exact prefix crops (the reference's full-res unpad
+        # of coarse maps is a latent shape bug — see ops/pad.py 'downscale')
+        padder = InputPadder((H, W), mode="downscale", eval_pad_rate=8)
         im1, im2 = padder.pad(events1, events2)
 
         unet = MIMOUNet(out_ch=self.n_first_channels, base=self.mimo_base,
@@ -109,7 +111,11 @@ class UniteZoo(nn.Module):
         else:
             _, flows = net(image1, image2, train=train)
 
-        maps = [(padder.unpad(o1), padder.unpad(o2))
-                for o1, o2 in zip(outs1, outs2)]
+        # per-scale exact crops: scale-s output of the padded frame covers
+        # the unpadded content in its [:H//s, :W//s] prefix
+        maps = []
+        for o1, o2 in zip(outs1, outs2):
+            s = im1.shape[1] // o1.shape[1]
+            maps.append((o1[:, : H // s, : W // s], o2[:, : H // s, : W // s]))
         maps[-1] = (image1, image2)
         return maps, flows

@@ -30,6 +30,14 @@ class InputPadder:
         if mode == "sintel":
             # [left, right, top, bottom]
             self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2]
+        elif mode == "downscale":
+            # bottom/right only — rebuild extension for models that return
+            # MULTI-SCALE outputs: with zero left/top offsets, a scale-s
+            # output unpads by simple prefix slicing [:H//s, :W//s], which a
+            # full-res offset unpad gets wrong (the reference applies
+            # full-res unpad to coarse maps, model/unite_unet_raft.py:459-462
+            # — a latent shape bug at non-multiple-of-rate sizes)
+            self._pad = [0, pad_wd, 0, pad_ht]
         else:  # 'chairs'
             self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
 

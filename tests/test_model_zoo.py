@@ -109,6 +109,19 @@ def test_unite_zoo_frontends_smoke():
         m1, m2 = maps[-1]
         assert m1.shape == x.shape and m2.shape == x.shape, name
 
+    # non-divisible size: per-scale maps must crop to exactly (H//s, W//s)
+    # (the reference applies the full-res unpad to coarse maps — a latent
+    # shape bug this rebuild fixes; see ops/pad.py 'downscale')
+    H, W = 60, 92
+    y = jnp.asarray(RNG.standard_normal((1, H, W, 5)), jnp.float32)
+    model = get_model("unite_gma", upsample_all=False)
+    variables = model.init(jax.random.PRNGKey(0), y, y, iters=2)
+    maps, flows = model.apply(variables, y, y, iters=2)
+    assert flows.shape[-3:] == (H, W, 2)
+    for (m1, m2), s in zip(maps, (4, 2, 1)):
+        assert m1.shape == (1, H // s, W // s, 5), (s, m1.shape)
+        assert m2.shape == (1, H // s, W // s, 5), (s, m2.shape)
+
 
 def test_spike_fire_surrogate_gradient():
     from eemflow_tpu.models.spike import if_neuron, spike_fire

@@ -69,10 +69,14 @@ def main() -> None:
     elif args.checkpoint:
         import orbax.checkpoint as ocp
 
-        target = model.init(jax.random.PRNGKey(0), zeros, zeros)
-        variables = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.checkpoint), target
+        # training saves a full TrainState (step/params/opt_state,
+        # train/checkpoint.py) — restore untyped and take the model variables
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.checkpoint)
         )
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
     else:
         variables = model.init(jax.random.PRNGKey(0), zeros, zeros)
 
@@ -84,8 +88,7 @@ def main() -> None:
             events1 = events1.astype(jnp.bfloat16)
             events2 = events2.astype(jnp.bfloat16)
         out = model.apply(variables, events1, events2)
-        flows = out[1]
-        flow = flows[-1] if isinstance(flows, (tuple, list)) else flows[-1]
+        flow = out[1][-1]
         return flow.astype(jnp.float32)
 
     exported = jexport.export(jax.jit(infer))(spec, spec)

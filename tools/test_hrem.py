@@ -63,7 +63,8 @@ def main() -> None:
             torch_state_dict_to_flax,
         )
 
-        alias = {"eemflow": eemflow_alias, "eraft": eraft_alias}.get(args.model)
+        alias = {"eemflow": eemflow_alias}.get(args.model, eraft_alias)
+        # eraft_alias is the RAFT-lineage default, matching test_mvsec.py
         sd = load_torch_checkpoint(args.checkpoint)
         sd = {k: v for k, v in sd.items() if k != "index"}
         variables = torch_state_dict_to_flax(sd, alias=alias)
