@@ -139,13 +139,15 @@ class HREMEventFlow:
     def get_sample(self, idx: int) -> Dict[str, np.ndarray]:
         rec = self.data_ls[idx]
         fflow = read_flo(rec["fflow"])  # [H, W, 2]
-        x_mesh, y_mesh = motion_propagate(fflow, mesh_size=self.mesh_size)
-        meshflow = np.stack([x_mesh, y_mesh], axis=-1).astype(np.float32)
+        if self.full_res_flow and self.type == "train":
+            flow = fflow  # dense label — skip the O(H·W) mesh propagation
+        else:
+            x_mesh, y_mesh = motion_propagate(fflow, mesh_size=self.mesh_size)
+            flow = np.stack([x_mesh, y_mesh], axis=-1).astype(np.float32)
 
         sample = {
             "names": rec["names"],
-            "flow": fflow if (self.full_res_flow and self.type == "train")
-            else meshflow,  # [mesh, mesh, 2] (or dense [H, W, 2])
+            "flow": flow,  # [mesh, mesh, 2] (or dense [H, W, 2])
             "fflow": fflow,  # [H, W, 2]
         }
         if self.raw_events:

@@ -77,14 +77,18 @@ class Tester:
         else:
             print(line, flush=True)
 
-    def run_sample(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
-        """Single sample dict → flow [H, W, 2] (adds the batch dim)."""
-        batch = {
+    @staticmethod
+    def _make_batch(sample) -> Dict[str, jnp.ndarray]:
+        """Sample dict → single-sample batch of the family input keys."""
+        return {
             k: jnp.asarray(sample[k])[None]
             for k in _INPUT_KEYS
             if k in sample and sample[k] is not None
         }
-        return np.asarray(self._fwd(self.variables, batch)[0])
+
+    def run_sample(self, sample: Dict[str, np.ndarray]) -> np.ndarray:
+        """Single sample dict → flow [H, W, 2] (adds the batch dim)."""
+        return np.asarray(self._dispatch(sample))[0]
 
     def run_network(self, ev1: np.ndarray, ev2: np.ndarray) -> np.ndarray:
         """ev1/ev2: [H, W, C] single sample → flow [H, W, 2]
@@ -95,12 +99,7 @@ class Tester:
 
     def _dispatch(self, sample):
         """Async-dispatch the forward for one sample (no result fetch)."""
-        batch = {
-            k: jnp.asarray(sample[k])[None]
-            for k in _INPUT_KEYS
-            if k in sample and sample[k] is not None
-        }
-        return self._fwd(self.variables, batch)
+        return self._fwd(self.variables, self._make_batch(sample))
 
     def test_sequence(
         self, dataset, stride: int = 1, max_samples: Optional[int] = None
@@ -162,11 +161,13 @@ class Tester:
             "n_samples": iters,
         }
 
-    def validate_chairs(self, dataset, iters: Optional[int] = None,
+    def validate_chairs(self, dataset,
                         max_samples: Optional[int] = None) -> float:
         """FlyingChairs validation (reference ``test_mvsec.py:1341-1393``):
         unmasked per-pixel EPE, mean over ALL pixels of the split (the
-        concatenated-EPE protocol, not per-sample averaging)."""
+        concatenated-EPE protocol, not per-sample averaging).  The GRU
+        iteration count is a model-constructor field here (``get_model(...,
+        iters=N)``), not a per-call argument."""
         epe_sum = 0.0
         n_px = 0
         done = 0
@@ -438,12 +439,7 @@ class ResearchTester(Tester):
             if idx % stride:
                 continue
             sample = dataset[idx]
-            batch = {
-                k: jnp.asarray(sample[k])[None]
-                for k in _INPUT_KEYS
-                if k in sample and sample[k] is not None
-            }
-            maps, flow = fwd(self.variables, batch)
+            maps, flow = fwd(self.variables, self._make_batch(sample))
             flow_est = np.asarray(flow)[0]
             aee, *_ = flow_error(
                 np.asarray(sample["flow"]), flow_est,
@@ -470,7 +466,7 @@ class ResearchTester(Tester):
             iters += 1
             if max_samples is not None and iters >= max_samples:
                 break
-        if self.save_path is not None:
+        if self.save_path is not None and rows:
             os.makedirs(self.save_path, exist_ok=True)
             with open(os.path.join(self.save_path, "key_density.csv"),
                       "w", newline="") as f:

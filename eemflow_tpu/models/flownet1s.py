@@ -206,7 +206,13 @@ class FlowNet1S(nn.Module):
             c3 = leaky_relu01(conv2d(256, 5, 2, name="conv3_0")(c2))
             flows, occs = core(c2, c3)
             preds = [up_full(f) for f in flows[::-1]]  # coarse→fine
-            maps = (occs[0],) if occs is not None else (events1, events2)
+            if occs is not None:  # contract: (occ_f full-res, occ_b | None)
+                occ_full = resize_bilinear(
+                    occs[0], (H, W), align_corners=True
+                )
+                maps = (occ_full, None)
+            else:
+                maps = (events1, events2)
             return maps, preds
 
         # IRR: shared narrow stem per image (flownet1s_irr.py:100-113)
@@ -316,7 +322,11 @@ class IRRFlowNet(nn.Module):
         c3_2_wp, c3_1_wp = c3_2, c3_1
 
         h2, w2 = c2_1.shape[1:3]
-        acc_f = acc_b = occ_acc_f = occ_acc_b = None
+        # NOTE the reference additionally accumulates the raw per-scale
+        # decoder outputs across iterations into its training dict
+        # (IRR_FlowNet.py:211-220, consumed by its multi-scale loss); this
+        # rebuild supervises the per-iteration full-res refined predictions
+        # (sequence loss) instead, so only the flow1/occ1 path is carried.
         prev_flow1_f = prev_flow1_b = None  # refined flow @conv2 res
         prev_occ1_f = prev_occ1_b = None
         occ_f = occ_b = None
@@ -325,15 +335,9 @@ class IRRFlowNet(nn.Module):
             flows_f, occs_f = core(c2_1, jnp.concatenate([c3_1, c3_2_wp], -1))
             flows_b, occs_b = core(c2_2, jnp.concatenate([c3_2, c3_1_wp], -1))
             if it == 0:
-                acc_f, acc_b = flows_f, flows_b
-                occ_acc_f, occ_acc_b = occs_f, occs_b
                 f2_f, f2_b = flows_f[0], flows_b[0]
                 o2_f, o2_b = occs_f[0], occs_b[0]
             else:
-                acc_f = tuple(a + f for a, f in zip(acc_f, flows_f))
-                acc_b = tuple(a + f for a, f in zip(acc_b, flows_b))
-                occ_acc_f = tuple(a + o for a, o in zip(occ_acc_f, occs_f))
-                occ_acc_b = tuple(a + o for a, o in zip(occ_acc_b, occs_b))
                 # residual on the previous REFINED estimate (IRR_FlowNet.py:222-225)
                 f2_f = flows_f[0] + resize_bilinear(
                     prev_flow1_f, flows_f[0].shape[1:3], align_corners=True

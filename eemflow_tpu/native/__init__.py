@@ -27,19 +27,41 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def _so_path(src: str) -> str:
+    """Build location: the package dir if writable (repo-owned, no other
+    user can plant a file there); else a per-user 0700 cache dir.  Never a
+    fixed world-writable path — a predictable /tmp/*.so that ctypes loads
+    is a local-privilege hazard on shared hosts."""
+    pkg_dir = os.path.dirname(src)
+    if os.access(pkg_dir, os.W_OK):
+        return os.path.join(pkg_dir, "_eventpack.so")
+    cache = os.path.join(
+        tempfile.gettempdir(), f"eemflow_native_{os.getuid()}"
+    )
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    if os.stat(cache).st_uid != os.getuid():  # pre-planted by someone else
+        raise OSError(f"cache dir {cache} not owned by this user")
+    return os.path.join(cache, "eventpack.so")
+
+
 def _build_and_load() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB is not None or _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     src = os.path.join(os.path.dirname(__file__), "eventpack.cpp")
-    so = os.path.join(tempfile.gettempdir(), "eemflow_eventpack.so")
     try:
+        so = _so_path(src)
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            # build to a unique temp name, then atomic-rename: no partially
+            # written .so is ever loadable, and concurrent builders race
+            # benignly (last rename wins with identical content)
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.decode_pack_i64.restype = ctypes.c_int
         lib.decode_pack_f64.restype = ctypes.c_int
@@ -60,6 +82,8 @@ def _fallback(
     from eemflow_tpu.events.sequence import EventSequence
     from eemflow_tpu.events.voxel import pad_events
 
+    if len(features) == 0:  # native path returns an all-zero buffer too
+        return pad_events(np.zeros((0, 4), np.float32), bucket)
     seq = EventSequence(
         features, height=0, width=0,
         timestamp_multiplier=ts_mult, convert_to_relative=True,
@@ -130,4 +154,7 @@ def decode_pack_features(
         )
         if rc == 0:
             return out, int(n_valid.value), int(n_dropped.value)
+    if map_zero_polarity and feats.size:  # match the native path's mapping
+        feats = feats.copy()
+        feats[feats[:, 3] == 0, 3] = -1.0
     return _fallback(feats, bucket, ts_mult)

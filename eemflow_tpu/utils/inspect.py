@@ -23,8 +23,9 @@ def count_parameters(variables) -> int:
 
 
 def compute_model_flops(fn, *args) -> dict:
-    """XLA cost analysis of ``jax.jit(fn)(*args)`` → {'gflops', 'params_m'}
-    (reference ``compute_model_size`` prints thop GFLOPs + MParams)."""
+    """XLA cost analysis of ``jax.jit(fn)(*args)`` → {'gflops',
+    'bytes_accessed'} (reference ``compute_model_size`` prints thop GFLOPs;
+    get param counts from :func:`count_parameters`)."""
     import jax
 
     cost = jax.jit(fn).lower(*args).compile().cost_analysis()
