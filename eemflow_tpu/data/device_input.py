@@ -14,7 +14,9 @@ Batch contract (produced by the datasets' ``raw_events=True`` mode):
   * ``n_old`` / ``n_new``           — [B] int32 valid counts,
   * optional ``flip_h`` / ``flip_v`` — [B] bool flip flags (drawn on host so
     the *label* transform matches; see ``augment.FlowAugmentor.draw_flips``),
-  * optional ``crop_y`` / ``crop_x`` — [B] int32 crop offsets.
+  * optional ``crop_y`` / ``crop_x`` — [B] int32 crop offsets (emitted by
+    the MVSEC raw-train path, which crops the flow label host-side with
+    the same draws; absent → static center crop, the MVSEC val protocol).
 
 Exactness: the host path voxelizes the FULL frame (normalization stats over
 the whole grid) and then augments — so the device path also voxelizes

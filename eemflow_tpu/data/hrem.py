@@ -91,7 +91,7 @@ class HREMEventFlow:
             e1 = os.path.join(d, name, "events1.npz")
             e2 = os.path.join(d, name, "events2.npz")
             fl = os.path.join(d, name, "flow.flo")
-            if os.path.exists(e1) and os.path.exists(e2):
+            if os.path.exists(e1) and os.path.exists(e2) and os.path.exists(fl):
                 out.append({"names": name, "event0": e1, "event1": e2, "fflow": fl})
         return out
 
@@ -148,8 +148,12 @@ class HREMEventFlow:
         sample = {
             "names": rec["names"],
             "flow": flow,  # [mesh, mesh, 2] (or dense [H, W, 2])
-            "fflow": fflow,  # [H, W, 2]
         }
+        if self.type != "train":
+            # full-res dense GT for research/eval modes only: in training it
+            # would ship unused to the device and go stale (unflipped) after
+            # augmentation
+            sample["fflow"] = fflow
         if self.raw_events:
             sample["events_old"], sample["n_old"] = self._raw(rec["event0"])
             sample["events_new"], sample["n_new"] = self._raw(rec["event1"])

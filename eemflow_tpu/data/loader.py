@@ -51,7 +51,11 @@ def batch_iterator(
         if shuffle:
             rng.shuffle(order)
         if process_count > 1:
-            order = order[process_index::process_count]
+            # truncate to a common multiple first: every process must yield
+            # the SAME number of batches, or the jitted step on the process
+            # with one extra batch hangs waiting for shards that never come
+            n_even = (len(order) // process_count) * process_count
+            order = order[:n_even][process_index::process_count]
         for i in range(0, len(order), batch_size):
             idx = order[i : i + batch_size]
             if drop_last and len(idx) < batch_size:
@@ -67,11 +71,14 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     _END = object()
 
     def worker():
+        # a dataset read error must reach the consumer — swallowing it
+        # would end the stream early and let the run "finish" truncated
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -79,4 +86,6 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

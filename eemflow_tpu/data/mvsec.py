@@ -111,9 +111,12 @@ class MvsecEventFlow:
         self.event_list = [
             os.path.join(self.event_path, f"{i + 1:06d}.h5") for i in self.names
         ]
-        # trailing event files for the final new-window(s)
+        # trailing event files for the final windows: sample idx reads
+        # old = event_list[idx : idx+k] and new = event_list[idx+k : idx+2k],
+        # so the last sample (idx = M-1) needs indices up to M-1 + 2k-1 —
+        # i.e. 2k-1 files beyond the M-th (k=1 → 1, matching dt1)
         last = self.names[-1] if self.names else 0
-        extra = 1 if self.dt_intervals == 1 else self.dt_intervals + 1
+        extra = 2 * self.dt_intervals - 1
         for j in range(extra):
             self.event_list.append(
                 os.path.join(self.event_path, f"{last + 2 + j:06d}.h5")
@@ -123,7 +126,9 @@ class MvsecEventFlow:
         return len(self.names)
 
     def _event_sequence(self, paths) -> EventSequence:
-        arrays = [read_events_h5(p) for p in paths]
+        return self._sequence_from_arrays([read_events_h5(p) for p in paths])
+
+    def _sequence_from_arrays(self, arrays) -> EventSequence:
         events = np.concatenate(arrays, axis=0) if len(arrays) > 1 else arrays[0]
         return EventSequence(
             events,
@@ -156,12 +161,14 @@ class MvsecEventFlow:
         flow = flow.astype(np.float32)
 
         k = self.dt_intervals
+        # direct indexing — change_test_sequence appends 2k-1 trailing files,
+        # so no wrap-around is needed (a modulo here would silently pull
+        # events from the start of the recording into the last samples)
         old_paths = self.event_list[idx : idx + k]
-        new_paths = [
-            self.event_list[(idx + k + j) % len(self.event_list)] for j in range(k)
-        ] if k > 1 else [self.event_list[(idx + 1) % len(self.event_list)]]
+        new_paths = self.event_list[idx + k : idx + 2 * k]
 
-        seq_old = self._event_sequence(old_paths)
+        old_arrays = [read_events_h5(p) for p in old_paths]
+        seq_old = self._sequence_from_arrays(old_arrays)
         seq_new = self._event_sequence(new_paths)
 
         sample = {"idx": self.names[idx], "flow": flow}
@@ -184,9 +191,12 @@ class MvsecEventFlow:
                 sample["d_event_volume_old"] = sample["event_volume_old"].copy()
                 sample["d_event_volume_new"] = sample["event_volume_new"].copy()
             if self.time_stack:
-                # one grid per frame interval, trailing time axis
+                # one grid per frame interval, trailing time axis — reuse
+                # the arrays already parsed for seq_old (pandas-h5 reads
+                # dominate host cost; no second parse)
                 grids = [
-                    self._voxelize(self._event_sequence([p])) for p in old_paths
+                    self._voxelize(self._sequence_from_arrays([a]))
+                    for a in old_arrays
                 ]
                 sample["event_volume"] = np.stack(grids, axis=-1)
         if self.type == "val":
@@ -201,6 +211,17 @@ class MvsecEventFlow:
                 flow, fh, fv = self.augmentor.draw_flips(flow)
             else:
                 fh = fv = False
+            # random crop (device order: voxelize full-res → flip → crop,
+            # so the label is flipped first, then cropped with the same
+            # offsets make_device_preprocess applies to the grids)
+            aug = self.augmentor
+            if (aug is not None and aug.crop_size is not None
+                    and tuple(aug.crop_size) != flow.shape[:2]):
+                cy, cx = aug.draw_crop(flow.shape[0], flow.shape[1])
+                ch, cw = aug.crop_size
+                flow = flow[cy : cy + ch, cx : cx + cw]
+                sample["crop_y"] = np.int32(cy)
+                sample["crop_x"] = np.int32(cx)
             valid = np.isfinite(flow).all(-1) & (np.linalg.norm(flow, axis=-1) > 0)
             sample["flow"] = flow
             sample["valid"] = valid.astype(np.float32)

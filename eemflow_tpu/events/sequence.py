@@ -52,4 +52,5 @@ class EventSequence:
             self.features = self.features[np.argsort(self.features[:, 0])]
 
     def absolute_time_to_relative(self) -> None:
-        self.features[:, 0] -= self.features[:, 0].min()
+        if len(self.features) > 0:  # empty frame interval (static scene)
+            self.features[:, 0] -= self.features[:, 0].min()

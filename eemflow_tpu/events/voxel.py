@@ -82,6 +82,10 @@ def events_to_voxel_grid(
 
     hw = height * width
     base = xs + ys * width
+    # out-of-frame coordinates (e.g. rectified DSEC events) must not vote —
+    # without this, x==width lands on pixel (0, y+1) via the flat index
+    inb = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    valid = valid & inb
 
     mask_l = valid & (tis < num_bins) & (tis >= 0)
     idx_l = jnp.where(mask_l, base + tis_i * hw, 0)
@@ -142,9 +146,10 @@ def events_to_voxel_grid_np(
         vals_left = pols * (1.0 - dts)
         vals_right = pols * dts
 
-        m = (tis < num_bins) & (tis >= 0)
+        inb = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+        m = inb & (tis < num_bins) & (tis >= 0)
         np.add.at(grid, xs[m] + ys[m] * width + tis_i[m] * width * height, vals_left[m])
-        m = (tis + 1 < num_bins) & (tis >= 0)
+        m = inb & (tis + 1 < num_bins) & (tis >= 0)
         np.add.at(
             grid, xs[m] + ys[m] * width + (tis_i[m] + 1) * width * height, vals_right[m]
         )

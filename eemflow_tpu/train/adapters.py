@@ -115,17 +115,17 @@ class DenseSparseFamily(Family):
     flow_weight = 100.0
 
     def compute_loss(self, outputs, batch, gamma: float = 0.8):
+        from eemflow_tpu.train.losses_extra import unite_reconstruction_loss
+
         maps, preds = outputs
         unet_out = jnp.concatenate([maps[0], maps[1]], axis=0)
         dense = jnp.concatenate(
             [batch["d_event_volume_old"], batch["d_event_volume_new"]], axis=0
         )
-        reg = dice_reg(unet_out, dense)
-        flow_loss, metrics = sequence_loss(preds, batch["flow"], batch["valid"], gamma)
-        metrics = dict(metrics)
-        metrics["reg_loss"] = reg
-        metrics["flow_loss"] = flow_loss
-        return reg + self.flow_weight * flow_loss, metrics
+        return unite_reconstruction_loss(
+            preds, batch["flow"], batch["valid"], unet_out, dense,
+            gamma=gamma, flow_weight=self.flow_weight,
+        )
 
 
 class DenseCtxFamily(Family):

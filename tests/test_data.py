@@ -316,3 +316,78 @@ def test_hrem_full_res_flow_labels(tmp_path):
     # default (meshflow) unchanged
     ds_mesh = SmallHREM(root, dt="dt1", train=True)
     assert ds_mesh[0]["flow"].shape == (16, 16, 2)
+
+
+def test_mvsec_dt4_tail_windows_no_wraparound(tmp_path, monkeypatch):
+    """The last dt4 sample's new-event window must read the appended
+    trailing files, not wrap to the start of the sequence (regression:
+    `extra` was dt_intervals+1, two files short, and a modulo silently
+    pulled events from ~the recording start into the final samples)."""
+    from eemflow_tpu.data import mvsec as mvsec_mod
+    from eemflow_tpu.data.mvsec import MvsecEventFlow_dt4
+
+    root = str(tmp_path)
+    monkeypatch.setitem(mvsec_mod.VALID_TIME_INDEX, "indoor_flying1", [(3, 8)])
+    _write_mvsec_sequence(root, "indoor_flying1", (2, 16))
+
+    class SmallDt4(MvsecEventFlow_dt4):
+        image_width = 40
+        image_height = 32
+
+    ds = SmallDt4(root, "indoor_flying1", train=False)
+    M, k = len(ds.names), ds.dt_intervals
+    assert len(ds.event_list) == M + 2 * k - 1
+    # last sample: windows index directly, no modulo — and are time-ordered
+    s = ds.get_sample(M - 1)
+    assert s["event_volume_old"].shape == (32, 40, 5)
+    # the trailing file paths exist and are consecutive frame numbers
+    tail = [int(os.path.basename(p).split(".")[0]) for p in ds.event_list[-3:]]
+    assert tail == [tail[0], tail[0] + 1, tail[0] + 2]
+
+
+def test_mvsec_raw_train_random_crop_wiring(tmp_path, monkeypatch):
+    """Raw-train random crop: dataset crops the (flipped) flow label and
+    emits crop_y/crop_x; the device preprocess crops the grids with the
+    same offsets after flipping — label and grids stay aligned."""
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.data import mvsec as mvsec_mod
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.data.mvsec import MvsecEventFlow
+
+    root = str(tmp_path)
+    monkeypatch.setitem(mvsec_mod.VALID_TIME_INDEX, "indoor_flying1", [(3, 8)])
+    _write_mvsec_sequence(root, "indoor_flying1", (2, 14))
+
+    class Small(MvsecEventFlow):
+        image_width = 40
+        image_height = 32
+
+    ch, cw = 24, 32
+    ds = Small(root, "indoor_flying1", train=True, raw_events=True,
+               bucket_size=2048,
+               aug_params={"crop_size": [ch, cw], "do_flip": True},
+               rng=np.random.default_rng(0))
+    s = ds[0]
+    assert s["flow"].shape == (ch, cw, 2)
+    assert "crop_y" in s and "crop_x" in s
+    cy, cx = int(s["crop_y"]), int(s["crop_x"])
+    assert 0 <= cy <= 32 - ch and 0 <= cx <= 40 - cw
+
+    batch = {
+        k: jnp.asarray(np.asarray(s[k])[None])
+        for k in ("events_old", "events_new", "n_old", "n_new",
+                  "flip_h", "flip_v", "crop_y", "crop_x")
+    }
+    pre_full = make_device_preprocess(5, 32, 40)
+    pre_crop = make_device_preprocess(5, 32, 40, crop_size=(ch, cw))
+    full = jax.jit(pre_full)({k: v for k, v in batch.items()
+                              if k not in ("crop_y", "crop_x")})
+    crop = jax.jit(pre_crop)(batch)
+    assert crop["event_volume_old"].shape == (1, ch, cw, 5)
+    np.testing.assert_allclose(
+        np.asarray(crop["event_volume_old"][0]),
+        np.asarray(full["event_volume_old"][0])[cy:cy + ch, cx:cx + cw],
+        atol=1e-6,
+    )

@@ -94,8 +94,15 @@ def main() -> None:
     if args.device_voxelize:
         from eemflow_tpu.data.device_input import make_device_preprocess
 
+        # random crop: the dataset crops the label host-side and emits
+        # crop_y/crop_x; the grids are cropped on device with the same
+        # offsets (order: voxelize full-res -> flip -> crop)
+        crop = tuple(aug.get("crop_size")) if aug.get("crop_size") else None
+        if crop == (dataset.image_height, dataset.image_width):
+            crop = None
         preprocess = make_device_preprocess(
-            num_bins, dataset.image_height, dataset.image_width
+            num_bins, dataset.image_height, dataset.image_width,
+            crop_size=crop,
         )
 
     init_distributed()  # multi-host no-op unless a launcher provides coords
