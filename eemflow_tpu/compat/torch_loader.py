@@ -154,6 +154,47 @@ def eraft_alias(mod_path: str) -> Tuple[str, ...]:
     return tuple(out)
 
 
+def digit_merge_alias(mod_path: str) -> Tuple[str, ...]:
+    """Generic alias: merge every ``name.N`` (ModuleList / Sequential index)
+    into ``name_N`` — the flax naming convention used throughout the zoo.
+    E.g. ``transformer.layers.0.mlp.0`` → ``transformer/layers_0/mlp_0``."""
+    parts = mod_path.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if nxt is not None and nxt.isdigit():
+            out.append(f"{p}_{nxt}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out)
+
+
+# GMFlow's torch module tree (backbone.layerX.N, transformer.layers.N,
+# mlp.N, upsampler.N, feature_flow_attn.*) is exactly the digit-merge shape
+# (reference model/GMflow/gmflow.py:13-44, transformer.py, backbone.py).
+gmflow_alias = digit_merge_alias
+
+
+def flowformer_alias(mod_path: str) -> Tuple[str, ...]:
+    """FlowFormer torch paths → flax paths: the decoder cross-attend's k/v
+    are standalone Dense modules (projected from memory once per forward,
+    reference decoder.py:64-66), timm Mlp params flatten to mlp_fc1/fc2,
+    everything else is digit-merge."""
+    p = mod_path
+    if p.endswith("decoder_layer.cross_attend.k"):
+        p = p.replace("decoder_layer.cross_attend.k", "decoder_layer_cross_attend_k")
+    elif p.endswith("decoder_layer.cross_attend.v"):
+        p = p.replace("decoder_layer.cross_attend.v", "decoder_layer_cross_attend_v")
+    else:
+        p = p.replace("decoder_layer.cross_attend", "decoder_layer_cross_attend")
+    p = p.replace("mlp.fc", "mlp_fc")
+    return digit_merge_alias(p)
+
+
 def eemflow_plus_alias(mod_path: str) -> Optional[Tuple[str, ...]]:
     """EEMFlow+ torch attribute paths → flax module paths.
 

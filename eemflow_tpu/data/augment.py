@@ -69,8 +69,10 @@ class FlowAugmentor:
         return imgs, flow
 
     def _crop(self, imgs, flow):
-        y0 = self.rng.integers(0, imgs[0].shape[0] - self.crop_size[0])
-        x0 = self.rng.integers(0, imgs[0].shape[1] - self.crop_size[1])
+        # +1: inclusive high so dim == crop is legal and the bottom/right-most
+        # crop is reachable
+        y0 = self.rng.integers(0, imgs[0].shape[0] - self.crop_size[0] + 1)
+        x0 = self.rng.integers(0, imgs[0].shape[1] - self.crop_size[1] + 1)
         sl = np.s_[y0 : y0 + self.crop_size[0], x0 : x0 + self.crop_size[1]]
         return [im[sl] for im in imgs], flow[sl]
 
@@ -92,8 +94,8 @@ class FlowAugmentor:
 
     def draw_crop(self, height, width):
         """Draw a random crop offset for the full frame (device-side crop)."""
-        y0 = int(self.rng.integers(0, height - self.crop_size[0]))
-        x0 = int(self.rng.integers(0, width - self.crop_size[1]))
+        y0 = int(self.rng.integers(0, height - self.crop_size[0] + 1))
+        x0 = int(self.rng.integers(0, width - self.crop_size[1] + 1))
         return y0, x0
 
     def __call__(self, img1, img2, flow, without_resize=False):

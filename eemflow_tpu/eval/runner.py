@@ -58,6 +58,8 @@ class Tester:
         self.is_car = is_car
         fam = get_family(family)
         self.family = fam
+        self._preprocess = preprocess
+        self._mixed_precision = mixed_precision
 
         def fwd(v, batch):
             if preprocess is not None:
@@ -423,13 +425,25 @@ class ResearchTester(Tester):
         def density(a):
             return float((np.abs(np.asarray(a)).sum(-1) > 0).mean())
 
+        from eemflow_tpu.train.trainer import cast_floating
+
         fam = self.family
         model = self.model
 
         def fwd_with_maps(v, batch):
+            # mirror the __init__ fwd closure: device-voxelize preprocess and
+            # bf16 cast must apply here too, or raw-events mode feeds padded
+            # event buffers straight to the model
+            if self._preprocess is not None:
+                batch = self._preprocess(batch)
             args = fam.model_args(batch)
+            if self._mixed_precision:
+                v = cast_floating(v, jnp.bfloat16)
+                args = cast_floating(args, jnp.bfloat16)
             maps, flows = model.apply(v, *args)
-            return maps, fam.flow_est((maps, flows))
+            # also return the (possibly device-voxelized) input volume so the
+            # density column works in raw-events mode
+            return batch.get("event_volume_old"), maps, fam.flow_est((maps, flows))
 
         fwd = jax.jit(fwd_with_maps)
         rows = []
@@ -439,7 +453,7 @@ class ResearchTester(Tester):
             if idx % stride:
                 continue
             sample = dataset[idx]
-            maps, flow = fwd(self.variables, self._make_batch(sample))
+            vol_old, maps, flow = fwd(self.variables, self._make_batch(sample))
             flow_est = np.asarray(flow)[0]
             aee, *_ = flow_error(
                 np.asarray(sample["flow"]), flow_est,
@@ -457,7 +471,9 @@ class ResearchTester(Tester):
             if isinstance(key_map, (list, tuple)):
                 key_map = key_map[0]  # (view1, view2) → view 1
             map_den = density(key_map)
-            ev_den = density(sample["event_volume_old"])
+            ev_src = (vol_old if vol_old is not None
+                      else sample["event_volume_old"])
+            ev_den = density(ev_src)
             row = [f"{idx}", ev_den, map_den, f"{aee:.3f}"]
             if sample.get("d_event_volume_old") is not None:
                 row.insert(2, density(sample["d_event_volume_old"]))

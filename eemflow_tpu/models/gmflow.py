@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from eemflow_tpu.models.layers import InstanceNorm, conv2d, kaiming_out
 from eemflow_tpu.ops.pad import InputPadder
 from eemflow_tpu.ops.upsample import resize_bilinear
-from eemflow_tpu.ops.warp import backwarp
+from eemflow_tpu.ops.warp import warp_align_corners
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -65,6 +65,28 @@ class GMResidualBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class TridentConv(nn.Module):
+    """One shared 3×3 kernel applied at strides (1, 2) (reference
+    trident_conv.py MultiScaleTridentConv, bias=False); param named
+    'kernel' so the torch ``trident_conv.weight`` converts mechanically."""
+
+    features: int
+    strides: Sequence[int] = (1, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", kaiming_out, (3, 3, x.shape[-1], self.features)
+        )
+        return [
+            jax.lax.conv_general_dilated(
+                x, kernel, (s, s), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            for s in self.strides
+        ]  # high→low resolution
+
+
 class CNNEncoder(nn.Module):
     """Instance-norm encoder to 1/8 (reference backbone.py:39-110); for
     num_output_scales=2 a shared trident conv emits 1/8 and 1/16 branches."""
@@ -87,19 +109,7 @@ class CNNEncoder(nn.Module):
 
         if self.num_output_scales == 1:
             return [x]
-        # trident: one shared 3×3 kernel applied at strides (1, 2)
-        kernel = self.param(
-            "trident_kernel", kaiming_out, (3, 3, self.output_dim, self.output_dim)
-        )
-        outs = []
-        for s in (1, 2):
-            outs.append(
-                jax.lax.conv_general_dilated(
-                    x, kernel, (s, s), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            )
-        return outs  # high→low resolution
+        return TridentConv(self.output_dim, name="trident_conv")(x)
 
 
 def position_embedding_sine(h, w, num_pos_feats, temperature=10000.0):
@@ -380,7 +390,9 @@ class GMFlow(nn.Module):
                 flow = resize_bilinear(flow, (fh, fw), align_corners=True) * 2
             if flow is not None:
                 flow = jax.lax.stop_gradient(flow)
-                feature1 = backwarp(feature1, flow)
+                # reference geometry.flow_warp → bilinear_sample with
+                # align_corners=True, zeros padding (geometry.py:42-67)
+                feature1 = warp_align_corners(feature1, flow)
 
             splits = self.attn_splits_list[scale_idx]
             corr_radius = self.corr_radius_list[scale_idx]

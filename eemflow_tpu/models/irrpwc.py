@@ -507,10 +507,12 @@ class PWCFamilyNet(nn.Module):
                     [corr, feat, prev], axis=-1
                 )
                 x_intm, out = est(x_in)
-                if not use_feat:  # level 0 non-irr: estimator output IS the field
-                    new = out
-                else:
-                    new = prev + out
+                # Only the irr variants are residual (pwcnet_irr_bi.py:85-87);
+                # the non-irr variants REPLACE the field with the estimator
+                # output at every level, even though the previous field is fed
+                # as input (pwcnet.py:78-82, pwcnet_bi.py:84-88,
+                # pwcnet_occ_bi.py:94-104).
+                new = prev + out if self.irr else out
                 if ctx is not None:
                     new = new + ctx(jnp.concatenate([x_intm, new], axis=-1))
                 return new
@@ -566,19 +568,30 @@ class UnitePWCNet(nn.Module):
     def __call__(self, events1, events2, train: bool = False):
         from eemflow_tpu.models.sknet import SKFuse
         from eemflow_tpu.models.unet import MIMOUNet
+        from eemflow_tpu.ops.pad import InputPadder
 
-        # reference uses MIMOUNet_little (module missing upstream); our
-        # reimplementation's num_res=1 is the documented 'little' setting
-        unet = MIMOUNet(out_ch=self.n_first_channels, num_res=1, name="unet")
-        outs1 = unet(events1, with_res=False, train=train)
-        outs2 = unet(events2, with_res=False, train=train)
+        B, H, W, _ = events1.shape
+        # the MIMO frontend downsamples /4: pad bottom/right like UniteZoo so
+        # inputs not divisible by 4 don't crash in the UNet skip concats, and
+        # coarse maps unpad by exact prefix crops
+        padder = InputPadder((H, W), mode="downscale", eval_pad_rate=8)
+        im1, im2 = padder.pad(events1, events2)
+
+        # reference uses MIMOUNet_little (module missing upstream); 'little'
+        # is the half-width base=8 setting, matching UniteZoo
+        unet = MIMOUNet(out_ch=self.n_first_channels, base=8, name="unet")
+        outs1 = unet(im1, with_res=False, train=train)
+        outs2 = unet(im2, with_res=False, train=train)
         sk = SKFuse(name="unet_sk")
-        x1 = sk(events1, outs1[-1])
-        x2 = sk(events2, outs2[-1])
+        x1 = padder.unpad(sk(im1, outs1[-1]))
+        x2 = padder.unpad(sk(im2, outs2[-1]))
 
         _, preds = PWCNet(
             self.n_first_channels, self.div_flow, name="pwc"
         )(x1, x2, train=train)
-        maps = [(o1, o2) for o1, o2 in zip(outs1, outs2)]
+        maps = []
+        for o1, o2 in zip(outs1, outs2):
+            s = im1.shape[1] // o1.shape[1]
+            maps.append((o1[:, : H // s, : W // s], o2[:, : H // s, : W // s]))
         maps[-1] = (x1, x2)
         return maps, preds

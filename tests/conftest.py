@@ -24,3 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 # golden tests compare against full-fp32 torch.  (The JAX_* env var spelling
 # is not honored for this option — set the config directly.)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    # tiers: default (fast ops/golden/data, <5 min) vs the multi-minute model
+    # -zoo compile/parity tier.  Run fast only: `pytest -m "not zoo"`.
+    config.addinivalue_line(
+        "markers", "zoo: slow model-zoo compile / checkpoint-parity tests"
+    )

@@ -663,3 +663,795 @@ class OracleUNet(nn.Module):
             d = torch.cat([skips[i-1], d], 1)
             d = getattr(self, f"Up_conv{i+1}")(d)
         return self.Conv(d)
+
+
+# --------------------------------------------------------------- GMFlow ----
+
+class OracleGMResBlock(nn.Module):
+    """Instance-norm residual block (reference GMflow/backbone.py:6-36)."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.norm1 = nn.InstanceNorm2d(planes)
+        self.norm2 = nn.InstanceNorm2d(planes)
+        if stride != 1 or cin != planes:
+            self.norm3 = nn.InstanceNorm2d(planes)
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes, 1, stride), self.norm3
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.norm1(self.conv1(x)))
+        y = F.relu(self.norm2(self.conv2(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return F.relu(x + y)
+
+
+class OracleGMEncoder(nn.Module):
+    """CNNEncoder (reference GMflow/backbone.py:39-117)."""
+
+    def __init__(self, cin=5, output_dim=128, num_output_scales=1):
+        super().__init__()
+        self.num_branch = num_output_scales
+        self.conv1 = nn.Conv2d(cin, 64, 7, 2, 3, bias=False)
+        self.norm1 = nn.InstanceNorm2d(64)
+        self.layer1 = nn.Sequential(
+            OracleGMResBlock(64, 64), OracleGMResBlock(64, 64)
+        )
+        self.layer2 = nn.Sequential(
+            OracleGMResBlock(64, 96, 2), OracleGMResBlock(96, 96)
+        )
+        s3 = 2 if num_output_scales == 1 else 1
+        self.layer3 = nn.Sequential(
+            OracleGMResBlock(96, 128, s3), OracleGMResBlock(128, 128)
+        )
+        self.conv2 = nn.Conv2d(128, output_dim, 1)
+        if num_output_scales > 1:
+            class Trident(nn.Module):
+                def __init__(self, dim):
+                    super().__init__()
+                    self.weight = nn.Parameter(torch.empty(dim, dim, 3, 3))
+                    nn.init.kaiming_uniform_(self.weight, nonlinearity="relu")
+
+                def forward(self, x):
+                    return [F.conv2d(x, self.weight, None, s, 1) for s in (1, 2)]
+
+            self.trident_conv = Trident(output_dim)
+
+    def forward(self, x):
+        x = F.relu(self.norm1(self.conv1(x)))
+        x = self.conv2(self.layer3(self.layer2(self.layer1(x))))
+        if self.num_branch > 1:
+            return self.trident_conv(x)
+        return [x]
+
+
+def _gm_split(x, k, channel_last=True):
+    b, h, w, c = x.shape
+    return (
+        x.view(b, k, h // k, k, w // k, c)
+        .permute(0, 1, 3, 2, 4, 5)
+        .reshape(b * k * k, h // k, w // k, c)
+    )
+
+
+def _gm_merge(x, k):
+    b, h, w, c = x.shape
+    nb = b // (k * k)
+    return (
+        x.view(nb, k, k, h, w, c)
+        .permute(0, 1, 3, 2, 4, 5)
+        .reshape(nb, k * h, k * w, c)
+    )
+
+
+def _gm_shift_mask(h, w, wh, ww):
+    img = torch.zeros(1, h, w, 1)
+    cnt = 0
+    for hs in (slice(0, -wh), slice(-wh, -(wh // 2)), slice(-(wh // 2), None)):
+        for ws in (slice(0, -ww), slice(-ww, -(ww // 2)), slice(-(ww // 2), None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    win = _gm_split(img, h // wh).reshape(-1, wh * ww)
+    diff = win.unsqueeze(1) - win.unsqueeze(2)
+    return torch.where(diff != 0, torch.full_like(diff, -100.0), torch.zeros_like(diff))
+
+
+class OracleGMTransformerLayer(nn.Module):
+    def __init__(self, d, no_ffn=False, ffn_exp=4, with_shift=False):
+        super().__init__()
+        self.d = d
+        self.no_ffn = no_ffn
+        self.with_shift = with_shift
+        self.q_proj = nn.Linear(d, d, bias=False)
+        self.k_proj = nn.Linear(d, d, bias=False)
+        self.v_proj = nn.Linear(d, d, bias=False)
+        self.merge = nn.Linear(d, d, bias=False)
+        self.norm1 = nn.LayerNorm(d)
+        if not no_ffn:
+            self.mlp = nn.Sequential(
+                nn.Linear(2 * d, 2 * d * ffn_exp, bias=False),
+                nn.GELU(),
+                nn.Linear(2 * d * ffn_exp, d, bias=False),
+            )
+            self.norm2 = nn.LayerNorm(d)
+
+    def forward(self, source, target, h, w, splits, attn_mask=None):
+        q, k, v = self.q_proj(source), self.k_proj(target), self.v_proj(target)
+        b, _, c = q.shape
+        if splits > 1:
+            wh, ww = h // splits, w // splits
+
+            def towin(t):
+                t = t.view(b, h, w, c)
+                if self.with_shift:
+                    t = torch.roll(t, (-(wh // 2), -(ww // 2)), dims=(1, 2))
+                return _gm_split(t, splits).reshape(-1, wh * ww, c)
+
+            qs, ks, vs = towin(q), towin(k), towin(v)
+            scores = torch.bmm(qs, ks.transpose(1, 2)) / (c ** 0.5)
+            if self.with_shift:
+                scores = scores + attn_mask.repeat(b, 1, 1)
+            msg = torch.bmm(torch.softmax(scores, -1), vs)
+            msg = _gm_merge(msg.view(-1, wh, ww, c), splits)
+            if self.with_shift:
+                msg = torch.roll(msg, (wh // 2, ww // 2), dims=(1, 2))
+            msg = msg.reshape(b, h * w, c)
+        else:
+            scores = torch.bmm(q, k.transpose(1, 2)) / (c ** 0.5)
+            msg = torch.bmm(torch.softmax(scores, -1), v)
+        msg = self.norm1(self.merge(msg))
+        if not self.no_ffn:
+            msg = self.norm2(self.mlp(torch.cat([source, msg], -1)))
+        return source + msg
+
+
+class OracleGMTransformerBlock(nn.Module):
+    def __init__(self, d, ffn_exp=4, with_shift=False):
+        super().__init__()
+        self.self_attn = OracleGMTransformerLayer(d, True, ffn_exp, with_shift)
+        self.cross_attn_ffn = OracleGMTransformerLayer(d, False, ffn_exp, with_shift)
+
+    def forward(self, source, target, h, w, splits, attn_mask=None):
+        source = self.self_attn(source, source, h, w, splits, attn_mask)
+        return self.cross_attn_ffn(source, target, h, w, splits, attn_mask)
+
+
+class OracleGMFeatureTransformer(nn.Module):
+    def __init__(self, num_layers=6, d=128, ffn_exp=4):
+        super().__init__()
+        self.d = d
+        self.layers = nn.ModuleList(
+            [OracleGMTransformerBlock(d, ffn_exp, with_shift=(i % 2 == 1))
+             for i in range(num_layers)]
+        )
+
+    def forward(self, f0, f1, splits):
+        b, c, h, w = f0.shape
+        f0 = f0.flatten(-2).permute(0, 2, 1)
+        f1 = f1.flatten(-2).permute(0, 2, 1)
+        attn_mask = _gm_shift_mask(h, w, h // splits, w // splits) if splits > 1 else None
+        c0 = torch.cat([f0, f1], 0)
+        c1 = torch.cat([f1, f0], 0)
+        for layer in self.layers:
+            c0 = layer(c0, c1, h, w, splits, attn_mask)
+            a, bb = c0.chunk(2, 0)
+            c1 = torch.cat([bb, a], 0)
+        f0, f1 = c0.chunk(2, 0)
+        return (
+            f0.view(b, h, w, c).permute(0, 3, 1, 2),
+            f1.view(b, h, w, c).permute(0, 3, 1, 2),
+        )
+
+
+def _gm_pos_embed(x, num_pos_feats):
+    import math as _math
+
+    b, c, h, w = x.shape
+    mask = torch.ones(b, h, w)
+    ye = mask.cumsum(1)
+    xe = mask.cumsum(2)
+    scale = 2 * _math.pi
+    ye = ye / (ye[:, -1:, :] + 1e-6) * scale
+    xe = xe / (xe[:, :, -1:] + 1e-6) * scale
+    dim_t = torch.arange(num_pos_feats, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / num_pos_feats)
+    px = xe[..., None] / dim_t
+    py = ye[..., None] / dim_t
+    px = torch.stack([px[..., 0::2].sin(), px[..., 1::2].cos()], 4).flatten(3)
+    py = torch.stack([py[..., 0::2].sin(), py[..., 1::2].cos()], 4).flatten(3)
+    return torch.cat([py, px], 3).permute(0, 3, 1, 2)
+
+
+class OracleGMFlowAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.q_proj = nn.Linear(c, c)
+        self.k_proj = nn.Linear(c, c)
+
+    def forward(self, feature0, flow, local_window_radius=-1):
+        b, c, h, w = feature0.shape
+        q = self.q_proj(feature0.view(b, c, -1).permute(0, 2, 1))
+        k = self.k_proj(q)  # the reference's k-of-q quirk (transformer.py:380)
+        if local_window_radius > 0:
+            ks = 2 * local_window_radius + 1
+            kmap = k.permute(0, 2, 1).reshape(b, c, h, w)
+            kwin = F.unfold(kmap, ks, padding=local_window_radius)
+            kwin = kwin.view(b, c, ks * ks, h, w).permute(0, 3, 4, 1, 2)
+            kwin = kwin.reshape(b * h * w, c, ks * ks)
+            vwin = F.unfold(flow, ks, padding=local_window_radius)
+            vwin = vwin.view(b, 2, ks * ks, h, w).permute(0, 3, 4, 2, 1)
+            vwin = vwin.reshape(b * h * w, ks * ks, 2)
+            scores = torch.bmm(q.reshape(b * h * w, 1, c), kwin) / (c ** 0.5)
+            out = torch.bmm(torch.softmax(scores, -1), vwin)
+            return out.view(b, h, w, 2).permute(0, 3, 1, 2)
+        v = flow.view(b, 2, -1).permute(0, 2, 1)
+        scores = torch.bmm(q, k.transpose(1, 2)) / (c ** 0.5)
+        out = torch.bmm(torch.softmax(scores, -1), v)
+        return out.view(b, h, w, 2).permute(0, 3, 1, 2)
+
+
+def _gm_coords(b, h, w):
+    ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    return torch.stack([xs, ys], 0).float()[None].repeat(b, 1, 1, 1)
+
+
+def _gm_global_match(f0, f1):
+    b, c, h, w = f0.shape
+    corr = torch.matmul(
+        f0.view(b, c, -1).permute(0, 2, 1), f1.view(b, c, -1)
+    ) / (c ** 0.5)
+    grid = _gm_coords(b, h, w).view(b, 2, -1).permute(0, 2, 1)
+    prob = torch.softmax(corr, -1)
+    corresp = torch.matmul(prob, grid).view(b, h, w, 2).permute(0, 3, 1, 2)
+    return corresp - _gm_coords(b, h, w)
+
+
+def _gm_local_match(f0, f1, r):
+    b, c, h, w = f0.shape
+    coords = _gm_coords(b, h, w).view(b, 2, -1).permute(0, 2, 1)
+    k = 2 * r + 1
+    offs = torch.arange(-r, r + 1).float()
+    win = torch.stack(
+        [offs.repeat_interleave(k) * 0 + offs.repeat(k),
+         offs.repeat_interleave(k)], -1
+    )  # [(2r+1)^2, 2] (dx, dy), dy-major
+    sample = coords.unsqueeze(-2) + win.view(1, 1, -1, 2)
+    valid = (
+        (sample[..., 0] >= 0) & (sample[..., 0] < w)
+        & (sample[..., 1] >= 0) & (sample[..., 1] < h)
+    )
+    cnorm = torch.stack(
+        [2 * sample[..., 0] / max(w - 1, 1) - 1, 2 * sample[..., 1] / max(h - 1, 1) - 1],
+        -1,
+    )
+    winf = F.grid_sample(f1, cnorm.view(b, h * w, k * k, 2), align_corners=True)
+    winf = winf.permute(0, 2, 1, 3)  # [B, H*W, C, k*k]
+    f0v = f0.permute(0, 2, 3, 1).view(b, h * w, 1, c)
+    corr = torch.matmul(f0v, winf).view(b, h * w, -1) / (c ** 0.5)
+    corr = corr.masked_fill(~valid, -1e9)
+    prob = torch.softmax(corr, -1)
+    corresp = torch.matmul(prob.unsqueeze(-2), sample).squeeze(-2)
+    corresp = corresp.view(b, h, w, 2).permute(0, 3, 1, 2)
+    return corresp - _gm_coords(b, h, w)
+
+
+def _gm_flow_warp(feat, flow):
+    b, c, h, w = feat.shape
+    grid = _gm_coords(b, h, w) + flow
+    xg = 2 * grid[:, 0] / (w - 1) - 1
+    yg = 2 * grid[:, 1] / (h - 1) - 1
+    return F.grid_sample(
+        feat, torch.stack([xg, yg], -1), padding_mode="zeros", align_corners=True
+    )
+
+
+class OracleGMFlow(nn.Module):
+    """GMFlow (reference GMflow/gmflow.py:13-169).  Assumes H, W already
+    multiples of the pad rate (the parity test uses aligned sizes)."""
+
+    def __init__(self, cin=5, num_scales=1, feature_channels=128,
+                 upsample_factor=8, num_layers=6, ffn_exp=1,
+                 attn_splits_list=(2,), corr_radius_list=(-1,),
+                 prop_radius_list=(-1,)):
+        super().__init__()
+        self.num_scales = num_scales
+        self.feature_channels = feature_channels
+        self.upsample_factor = upsample_factor
+        self.attn_splits_list = attn_splits_list
+        self.corr_radius_list = corr_radius_list
+        self.prop_radius_list = prop_radius_list
+        self.backbone = OracleGMEncoder(cin, feature_channels, num_scales)
+        self.transformer = OracleGMFeatureTransformer(
+            num_layers, feature_channels, ffn_exp
+        )
+        self.feature_flow_attn = OracleGMFlowAttn(feature_channels)
+        self.upsampler = nn.Sequential(
+            nn.Conv2d(2 + feature_channels, 256, 3, 1, 1),
+            nn.ReLU(),
+            nn.Conv2d(256, upsample_factor ** 2 * 9, 1),
+        )
+
+    def _convex_up(self, flow, feature):
+        u = self.upsample_factor
+        mask = self.upsampler(torch.cat([flow, feature], 1))
+        b, _, h, w = flow.shape
+        mask = torch.softmax(mask.view(b, 1, 9, u, u, h, w), 2)
+        up = F.unfold(u * flow, [3, 3], padding=1).view(b, 2, 9, 1, 1, h, w)
+        up = torch.sum(mask * up, 2).permute(0, 1, 4, 2, 5, 3)
+        return up.reshape(b, 2, u * h, u * w)
+
+    def forward(self, ev1, ev2):
+        f0_list = self.backbone(torch.cat([ev1, ev2], 0))[::-1]
+        flow = None
+        preds = []
+        for idx in range(self.num_scales):
+            f0, f1 = f0_list[idx].chunk(2, 0)
+            up_factor = self.upsample_factor * 2 ** (self.num_scales - 1 - idx)
+            if idx > 0:
+                flow = F.interpolate(
+                    flow, scale_factor=2, mode="bilinear", align_corners=True
+                ) * 2
+            if flow is not None:
+                flow = flow.detach()
+                f1 = _gm_flow_warp(f1, flow)
+            splits = self.attn_splits_list[idx]
+            corr_r = self.corr_radius_list[idx]
+            prop_r = self.prop_radius_list[idx]
+            if splits > 1:
+                f0s = _split4(f0, splits)
+                f1s = _split4(f1, splits)
+                pos = _gm_pos_embed(f0s, self.feature_channels // 2)
+                f0 = _merge4(f0s + pos, splits)
+                f1 = _merge4(f1s + pos, splits)
+            else:
+                pos = _gm_pos_embed(f0, self.feature_channels // 2)
+                f0, f1 = f0 + pos, f1 + pos
+            f0, f1 = self.transformer(f0, f1, splits)
+            if corr_r == -1:
+                fp = _gm_global_match(f0, f1)
+            else:
+                fp = _gm_local_match(f0, f1, corr_r)
+            flow = flow + fp if flow is not None else fp
+            if self.training:
+                preds.append(
+                    F.interpolate(flow, scale_factor=up_factor, mode="bilinear",
+                                  align_corners=True) * up_factor
+                )
+            flow = self.feature_flow_attn(
+                f0, flow.detach(), local_window_radius=prop_r
+            )
+            last = idx == self.num_scales - 1
+            if self.training and not last:
+                preds.append(
+                    F.interpolate(flow, scale_factor=up_factor, mode="bilinear",
+                                  align_corners=True) * up_factor
+                )
+            if last:
+                preds.append(self._convex_up(flow, f0))
+        return preds
+
+
+def _split4(x, k):
+    b, c, h, w = x.shape
+    return (
+        x.view(b, c, k, h // k, k, w // k)
+        .permute(0, 2, 4, 1, 3, 5)
+        .reshape(b * k * k, c, h // k, w // k)
+    )
+
+
+def _merge4(x, k):
+    b, c, h, w = x.shape
+    nb = b // (k * k)
+    return (
+        x.view(nb, k, k, c, h, w)
+        .permute(0, 3, 1, 4, 2, 5)
+        .reshape(nb, c, k * h, k * w)
+    )
+
+
+# ------------------------------------------------------------ FlowFormer ----
+
+def _ff_linpos(x, dim, factor=1.0 / 200):
+    """LinearPositionEmbeddingSine (reference attention.py:141-145)."""
+    freq = torch.linspace(0, dim // 4 - 1, dim // 4)
+    return torch.cat(
+        [torch.sin(3.14 * x[..., -2:-1] * freq * factor),
+         torch.cos(3.14 * x[..., -2:-1] * freq * factor),
+         torch.sin(3.14 * x[..., -1:] * freq * factor),
+         torch.cos(3.14 * x[..., -1:] * freq * factor)], dim=-1)
+
+
+def _ff_coords(b, h, w):
+    ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    return torch.stack([xs, ys], 0).float()[None].repeat(b, 1, 1, 1)
+
+
+def _ff_mha(q, k, v, heads=8):
+    """MultiHeadAttention: scale = (dim/heads)^-0.5 (attention.py:36-61)."""
+    b, lq, d = q.shape
+    hd = d // heads
+    scale = hd ** -0.5
+    qh = q.view(b, lq, heads, hd).permute(0, 2, 1, 3)
+    kh = k.view(b, -1, heads, hd).permute(0, 2, 1, 3)
+    vh = v.view(b, -1, heads, hd).permute(0, 2, 1, 3)
+    attn = torch.softmax(qh @ kh.transpose(-2, -1) * scale, -1)
+    return (attn @ vh).permute(0, 2, 1, 3).reshape(b, lq, d)
+
+
+class OracleFFPatchEmbed(nn.Module):
+    def __init__(self, dim=64):
+        super().__init__()
+        self.dim = dim
+        self.proj = nn.Sequential(
+            nn.Conv2d(1, dim // 4, 6, 2, 2), nn.ReLU(),
+            nn.Conv2d(dim // 4, dim // 2, 6, 2, 2), nn.ReLU(),
+            nn.Conv2d(dim // 2, dim, 6, 2, 2),
+        )
+        self.ffn_with_coord = nn.Sequential(
+            nn.Conv2d(dim * 2, dim * 2, 1), nn.ReLU(), nn.Conv2d(dim * 2, dim * 2, 1)
+        )
+        self.norm = nn.LayerNorm(dim * 2)
+
+    def forward(self, x):
+        B = x.shape[0]
+        pad_r = (8 - x.shape[3] % 8) % 8
+        pad_b = (8 - x.shape[2] % 8) % 8
+        x = F.pad(x, (0, pad_r, 0, pad_b))
+        x = self.proj(x)
+        h3, w3 = x.shape[2:]
+        coord = _ff_coords(B, h3, w3) * 8 + 4
+        coord = coord.view(B, 2, -1).permute(0, 2, 1)
+        enc = _ff_linpos(coord, self.dim).permute(0, 2, 1).view(B, -1, h3, w3)
+        x = self.ffn_with_coord(torch.cat([x, enc], 1))
+        return self.norm(x.flatten(2).transpose(1, 2)), (h3, w3)
+
+
+class OracleFFEncCross(nn.Module):
+    """Encoder input layer (encoder.py:199-247): proj on attn output only."""
+
+    def __init__(self, dim=128, tgt_dim=128):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(tgt_dim, dim)
+        self.v = nn.Linear(tgt_dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.ffn = nn.Sequential(
+            nn.Linear(dim, dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(dim, dim), nn.Dropout(0.0),
+        )
+
+    def forward(self, query, tgt):
+        short = query
+        q = self.q(self.norm1(query))
+        x = short + self.proj(_ff_mha(q, self.k(tgt), self.v(tgt)))
+        return x + self.ffn(self.norm2(x))
+
+
+class OracleFFSelfAttn(nn.Module):
+    def __init__(self, dim=128):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.ffn = nn.Sequential(
+            nn.Linear(dim, dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(dim, dim), nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        short = x
+        y = self.norm1(x)
+        x = short + self.proj(_ff_mha(self.q(y), self.k(y), self.v(y)))
+        return x + self.ffn(self.norm2(x))
+
+
+class OracleFFLocalAttn(nn.Module):
+    """LocallyGroupedAttnRPEContext (twins.py:229-303)."""
+
+    def __init__(self, dim=128, vert_c_dim=64, ws=7, heads=8):
+        super().__init__()
+        self.dim, self.vc, self.ws, self.heads = dim, vert_c_dim, ws, heads
+        self.context_proj = nn.Linear(256, vert_c_dim)
+        self.q = nn.Linear(dim + vert_c_dim, dim)
+        self.k = nn.Linear(dim + vert_c_dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, size, context):
+        B, N, C = x.shape
+        H, W = size
+        Cqk = C + self.vc
+        ctx = context.repeat(B // context.shape[0], 1, 1, 1)
+        ctx = self.context_proj(ctx.view(B, -1, H * W).permute(0, 2, 1)).view(B, H, W, -1)
+        x = x.view(B, H, W, C)
+        xqk = torch.cat([x, ctx], -1)
+        ws = self.ws
+        pr, pb = (ws - W % ws) % ws, (ws - H % ws) % ws
+        x = F.pad(x, (0, 0, 0, pr, 0, pb))
+        xqk = F.pad(xqk, (0, 0, 0, pr, 0, pb))
+        _, Hp, Wp, _ = x.shape
+        nh, nw = Hp // ws, Wp // ws
+        coords = _ff_coords(1, ws, ws).view(1, 2, -1).permute(0, 2, 1)
+        enc = _ff_linpos(coords, Cqk).view(1, 1, 1, ws, ws, Cqk)
+        xw = x.reshape(B, nh, ws, nw, ws, C).transpose(2, 3)
+        qkw = xqk.reshape(B, nh, ws, nw, ws, Cqk).transpose(2, 3) + enc
+        q = self.q(qkw).reshape(B * nh * nw, ws * ws, C)
+        k = self.k(qkw).reshape(B * nh * nw, ws * ws, C)
+        v = self.v(xw).reshape(B * nh * nw, ws * ws, C)
+        o = _ff_mha(q, k, v, self.heads)
+        o = o.reshape(B, nh, nw, ws, ws, C).transpose(2, 3)
+        o = o.reshape(B, Hp, Wp, C)[:, :H, :W, :]
+        return self.proj(o.reshape(B, N, C))
+
+
+class OracleFFGlobalAttn(nn.Module):
+    """GlobalSubSampleAttnRPEContext (twins.py:306-392)."""
+
+    def __init__(self, dim=128, vert_c_dim=64, sr=4, heads=8):
+        super().__init__()
+        self.dim, self.vc, self.sr, self.heads = dim, vert_c_dim, sr, heads
+        self.context_proj = nn.Linear(256, vert_c_dim)
+        self.q = nn.Linear(dim + vert_c_dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.sr_key = nn.Conv2d(dim + vert_c_dim, dim, sr, sr)
+        self.sr_value = nn.Conv2d(dim, dim, sr, sr)
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, x, size, context):
+        B, N, C = x.shape
+        H, W = size
+        Cqk = C + self.vc
+        ctx = context.repeat(B // context.shape[0], 1, 1, 1)
+        ctx = self.context_proj(ctx.view(B, -1, H * W).permute(0, 2, 1)).view(B, H, W, -1)
+        x = x.view(B, H, W, C)
+        xqk = torch.cat([x, ctx], -1)
+        sr = self.sr
+        pr, pb = (sr - W % sr) % sr, (sr - H % sr) % sr
+        x = F.pad(x, (0, 0, 0, pr, 0, pb))
+        xqk = F.pad(xqk, (0, 0, 0, pr, 0, pb))
+        _, Hp, Wp, _ = x.shape
+        coords = _ff_coords(1, Hp, Wp).view(1, 2, -1).permute(0, 2, 1)
+        q = self.q(xqk.view(B, Hp * Wp, Cqk) + _ff_linpos(coords, Cqk))
+        ksub = self.sr_key(xqk.permute(0, 3, 1, 2)).flatten(2).transpose(1, 2)
+        vsub = self.sr_value(x.permute(0, 3, 1, 2)).flatten(2).transpose(1, 2)
+        ksub, vsub = self.norm(ksub), self.norm(vsub)
+        hs, wsz = Hp // sr, Wp // sr
+        coords_s = _ff_coords(1, hs, wsz).view(1, 2, -1).permute(0, 2, 1) * sr
+        k = self.k(ksub + _ff_linpos(coords_s, C))
+        v = self.v(vsub)
+        o = _ff_mha(q, k, v, self.heads)
+        o = o.reshape(B, Hp, Wp, C)[:, :H, :W, :]
+        return self.proj(o.reshape(B, N, C))
+
+
+class OracleFFMlp(nn.Module):
+    def __init__(self, dim, ratio=4):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, dim * ratio)
+        self.fc2 = nn.Linear(dim * ratio, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class OracleFFBlock(nn.Module):
+    def __init__(self, dim, attn):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = attn
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = OracleFFMlp(dim)
+
+    def forward(self, x, size, context):
+        x = x + self.attn(self.norm1(x), size, context)
+        return x + self.mlp(self.norm2(x))
+
+
+class OracleFFVertical(nn.Module):
+    def __init__(self, dim=128):
+        super().__init__()
+        self.local_block = OracleFFBlock(dim, OracleFFLocalAttn(dim))
+        self.global_block = OracleFFBlock(dim, OracleFFGlobalAttn(dim))
+
+    def forward(self, x, size, context):
+        x = self.local_block(x, size, context)
+        return self.global_block(x, size, context)
+
+
+class OracleFFCostPerceiver(nn.Module):
+    def __init__(self, input_dim=64, token_num=8, dim=128, depth=3):
+        super().__init__()
+        self.token_num, self.dim = token_num, dim
+        self.patch_embed = OracleFFPatchEmbed(input_dim)
+        self.latent_tokens = nn.Parameter(torch.randn(1, token_num, dim))
+        self.input_layer = OracleFFEncCross(dim, input_dim * 2)
+        self.encoder_layers = nn.ModuleList([OracleFFSelfAttn(dim) for _ in range(depth)])
+        self.vertical_encoder_layers = nn.ModuleList(
+            [OracleFFVertical(dim) for _ in range(depth)]
+        )
+
+    def forward(self, cost_maps, B, H1, W1, context):
+        K, D = self.token_num, self.dim
+        tokens, _ = self.patch_embed(cost_maps)
+        x = self.input_layer(self.latent_tokens.repeat(B * H1 * W1, 1, 1), tokens)
+        short = x
+        for i, layer in enumerate(self.encoder_layers):
+            x = layer(x)
+            x = x.view(B, H1 * W1, K, D).permute(0, 2, 1, 3).reshape(B * K, H1 * W1, D)
+            x = self.vertical_encoder_layers[i](x, (H1, W1), context)
+            x = x.view(B, K, H1 * W1, D).permute(0, 2, 1, 3).reshape(B * H1 * W1, K, D)
+        return x + short
+
+
+class OracleFFMemoryEncoder(nn.Module):
+    def __init__(self, cin=3, depth=3):
+        super().__init__()
+        self.feat_encoder = OracleBasicEncoder(256, "instance", cin)
+        self.channel_convertor = nn.Conv2d(256, 256, 1, bias=False)
+        self.cost_perceiver_encoder = OracleFFCostPerceiver(depth=depth)
+
+    def forward(self, im1, im2, context):
+        B = im1.shape[0]
+        feats = self.channel_convertor(self.feat_encoder(torch.cat([im1, im2], 0)))
+        f1, f2 = feats[:B], feats[B:]
+        _, C, H1, W1 = f1.shape
+        corr = torch.matmul(
+            f1.view(B, C, -1).permute(0, 2, 1), f2.view(B, C, -1)
+        )  # no sqrt scaling (encoder.py:328-337)
+        cost_maps = corr.view(B * H1 * W1, 1, H1, W1)
+        mem = self.cost_perceiver_encoder(cost_maps, B, H1, W1, context)
+        return mem, cost_maps, (H1, W1)
+
+
+class OracleFFDecCross(nn.Module):
+    """Decoder cross-attend (decoder.py:29-93): proj on [out, shortcut]."""
+
+    def __init__(self, dim=64, tgt_dim=128):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(tgt_dim, dim)
+        self.v = nn.Linear(tgt_dim, dim)
+        self.proj = nn.Linear(dim * 2, dim)
+        self.ffn = nn.Sequential(
+            nn.Linear(dim, dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(dim, dim), nn.Dropout(0.0),
+        )
+
+    def forward(self, query, k, v, pos):
+        short = query
+        q = self.q(self.norm1(query) + pos)
+        x = short + self.proj(torch.cat([_ff_mha(q, k, v), short], -1))
+        return x + self.ffn(self.norm2(x))
+
+
+class OracleFFUpdateBlock(nn.Module):
+    """GMAUpdateBlock with 145-ch motion encoder (gru.py:63-143)."""
+
+    def __init__(self, hidden=128, cor_planes=81 + 64):
+        super().__init__()
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.convc1 = nn.Conv2d(cor_planes, 256, 1)
+                self.convc2 = nn.Conv2d(256, 192, 3, padding=1)
+                self.convf1 = nn.Conv2d(2, 128, 7, padding=3)
+                self.convf2 = nn.Conv2d(128, 64, 3, padding=1)
+                self.conv = nn.Conv2d(256, 126, 3, padding=1)
+
+            def forward(self, flow, corr):
+                c = F.relu(self.convc2(F.relu(self.convc1(corr))))
+                f = F.relu(self.convf2(F.relu(self.convf1(flow))))
+                return torch.cat([F.relu(self.conv(torch.cat([c, f], 1))), flow], 1)
+
+        base = OracleGMAUpdateBlock(hidden)
+        self.encoder = Enc()
+        self.gru = base.gru
+        self.flow_head = base.flow_head
+        self.mask = base.mask
+        self.aggregator = OracleGMAAggregate(128)
+
+    def forward(self, net, inp, corr, flow, attention):
+        m = self.encoder(flow, corr)
+        mg = self.aggregator(attention, m)
+        net = self.gru(net, torch.cat([inp, m, mg], 1))
+        return net, 0.25 * self.mask(net), self.flow_head(net)
+
+
+class OracleFFMemoryDecoder(nn.Module):
+    def __init__(self, dim=64, depth=12):
+        super().__init__()
+        self.dim, self.depth = dim, depth
+        self.flow_token_encoder = nn.Sequential(
+            nn.Conv2d(81, dim, 1), nn.GELU(), nn.Conv2d(dim, dim, 1)
+        )
+        self.proj = nn.Conv2d(256, 256, 1)
+
+        class DecLayer(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cross_attend = OracleFFDecCross()
+
+        self.decoder_layer = DecLayer()
+        self.update_block = OracleFFUpdateBlock()
+        self.att = OracleGMAAttention()
+        # dead relative-position tables (gma.py:54; content-only forward)
+        class PosEmb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rel_height = nn.Embedding(2 * 160 - 1, 128)
+                self.rel_width = nn.Embedding(2 * 160 - 1, 128)
+
+        self.att.pos_emb = PosEmb()
+
+    @staticmethod
+    def _sample_cost(cost_maps, coords):
+        """encode_flow_token (decoder.py:186-205): the dy-meshgrid output is
+        added to the x channel — x offset varies along the OUTER window
+        axis."""
+        b2, _, h2, w2 = cost_maps.shape
+        B, _, H1, W1 = coords.shape
+        r = 4
+        d = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(d, d, indexing="ij"), -1)
+        centroid = coords.permute(0, 2, 3, 1).reshape(B * H1 * W1, 1, 1, 2)
+        cl = centroid + delta.view(1, 9, 9, 2)
+        return oracle_bilinear_sampler(cost_maps, cl).view(B, H1, W1, -1).permute(0, 3, 1, 2)
+
+    def forward(self, cost_memory, cost_maps, context):
+        B, _, H1, W1 = context.shape
+        ctx = self.proj(context)
+        net, inp = torch.split(ctx, [128, 128], 1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        attention = self.att(inp)
+        coords0 = _ff_coords(B, H1, W1)
+        coords1 = coords0.clone()
+        key = self.decoder_layer.cross_attend.k(cost_memory)
+        value = self.decoder_layer.cross_attend.v(cost_memory)
+        preds = []
+        for _ in range(self.depth):
+            coords1 = coords1.detach()
+            cost_fwd = self._sample_cost(cost_maps, coords1)
+            q = self.flow_token_encoder(cost_fwd)
+            q = q.permute(0, 2, 3, 1).reshape(B * H1 * W1, 1, self.dim)
+            cc = coords1.view(B, 2, -1).permute(0, 2, 1).reshape(B * H1 * W1, 1, 2)
+            pos = _ff_linpos(cc, self.dim)
+            cost_global = self.decoder_layer.cross_attend(q, key, value, pos)
+            cost_global = cost_global.view(B, H1, W1, self.dim).permute(0, 3, 1, 2)
+            corr = torch.cat([cost_global, cost_fwd], 1)
+            flow = coords1 - coords0
+            net, up_mask, delta = self.update_block(net, inp, corr, flow, attention)
+            coords1 = coords1 + delta
+            preds.append(OracleERAFT.upsample_flow(coords1 - coords0, up_mask))
+        return preds
+
+
+class OracleFlowFormer(nn.Module):
+    """reference transformer.py:20-62 (pad-free sizes in the parity test)."""
+
+    def __init__(self, cin=3, encoder_depth=3, decoder_depth=12):
+        super().__init__()
+        self.memory_encoder = OracleFFMemoryEncoder(cin, encoder_depth)
+        self.memory_decoder = OracleFFMemoryDecoder(depth=decoder_depth)
+        self.context_encoder = OracleBasicEncoder(256, "instance", cin)
+
+    def forward(self, ev1, ev2):
+        context = self.context_encoder(ev1)
+        mem, cost_maps, _ = self.memory_encoder(ev1, ev2, context)
+        return self.memory_decoder(mem, cost_maps, context)
