@@ -77,10 +77,20 @@ def torch_state_dict_to_flax(
     for key, val in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
-        mod_path, leaf = key.rsplit(".", 1)
-        path = alias(mod_path) if alias is not None else None
-        if path is None:
-            path = tuple(mod_path.split("."))
+        if key.endswith("relative_position_index"):
+            # deterministic index buffer (GMFlowNet POLA attention,
+            # reference swin_transformer.py:684) — recomputed, not a param
+            continue
+        if "." in key:
+            mod_path, leaf = key.rsplit(".", 1)
+        else:  # root-level parameter (e.g. KPAFlow's frozen 'zero' buffer)
+            mod_path, leaf = "", key
+        if mod_path == "":
+            path = ()
+        else:
+            path = alias(mod_path) if alias is not None else None
+            if path is None:
+                path = tuple(mod_path.split("."))
 
         v = np.asarray(val)
         is_bn = mod_path in bnorm
@@ -177,6 +187,24 @@ def digit_merge_alias(mod_path: str) -> Tuple[str, ...]:
 # mlp.N, upsampler.N, feature_flow_attn.*) is exactly the digit-merge shape
 # (reference model/GMflow/gmflow.py:13-44, transformer.py, backbone.py).
 gmflow_alias = digit_merge_alias
+
+
+def gmflownet_alias(mod_path: str) -> Tuple[str, ...]:
+    """GMFlowNet torch paths → flax paths: the fnet Sequential's two stages
+    flatten to fnet_0 / fnet_1_blocks_{i} / fnet_1_norm (reference
+    gmflownet_model.py:50-58), timm Mlp params to mlp_fc1/fc2, the rest is
+    digit-merge."""
+    p = mod_path
+    if p.startswith("fnet.0."):
+        p = "fnet_0." + p[len("fnet.0."):]
+    elif p.startswith("fnet.1.blocks."):
+        rest = p[len("fnet.1.blocks."):]
+        n, _, tail = rest.partition(".")
+        p = f"fnet_1_blocks_{n}" + ("." + tail if tail else "")
+    elif p == "fnet.1.norm":
+        p = "fnet_1_norm"
+    p = p.replace("mlp.fc", "mlp_fc")
+    return digit_merge_alias(p)
 
 
 def flowformer_alias(mod_path: str) -> Tuple[str, ...]:

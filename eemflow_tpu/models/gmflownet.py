@@ -76,21 +76,16 @@ class POLAWindowAttention(nn.Module):
         Hp, Wp = H + pad_b, W + pad_r
         hs, ws_n = Hp // ws, Wp // ws
 
-        q = nn.Dense(self.dim, name="Wq")(xp)
-        k = nn.Dense(self.dim, name="Wk")(xp)
-        v = nn.Dense(self.dim, name="Wv")(xp)
-
+        # reference semantics (swin_transformer.py:984-1001): the RAW
+        # features are zero-padded (to the window multiple AND the ws halo)
+        # BEFORE the biased q/k/v projections — padded neighborhood keys
+        # therefore attend as Wk/Wv-bias vectors, with no validity mask.
         hd = self.dim // self.num_heads
-        qp = _patchify(q, ws)  # [B, n, ws², C]
-        kpad = jnp.pad(k, ((0, 0), (ws, ws), (ws, ws), (0, 0)))
-        vpad = jnp.pad(v, ((0, 0), (ws, ws), (ws, ws), (0, 0)))
-        kw = _window_keys(kpad, ws)  # [B, n, 9ws², C]
-        vw = _window_keys(vpad, ws)
-
-        # key-validity mask (padded halo positions attend to nothing real)
-        ones = jnp.ones((1, Hp, Wp, 1), x.dtype)
-        ones_pad = jnp.pad(ones, ((0, 0), (ws, ws), (ws, ws), (0, 0)))
-        kvalid = _window_keys(ones_pad, ws)[..., 0]  # [1, n, 9ws²]
+        qp = nn.Dense(self.dim, name="Wq")(_patchify(xp, ws))  # [B, n, ws², C]
+        raw_halo = jnp.pad(xp, ((0, 0), (ws, ws), (ws, ws), (0, 0)))
+        kw_raw = _window_keys(raw_halo, ws)  # [B, n, 9ws², C]
+        kw = nn.Dense(self.dim, name="Wk")(kw_raw)
+        vw = nn.Dense(self.dim, name="Wv")(kw_raw)
 
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], t.shape[2], self.num_heads, hd)
@@ -124,12 +119,12 @@ class POLAWindowAttention(nn.Module):
         bias_idx = jnp.asarray(rel_y * n_rel + rel_x)  # [ws², 9ws²]
         bias = bias_table[bias_idx]  # [ws², 9ws², heads]
         scores = scores + bias.transpose(2, 0, 1)[None, None]
-        scores = jnp.where(
-            kvalid[:, :, None, None, :] > 0, scores, -1e9
-        )
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, split_heads(vw), precision=HI)
         out = out.reshape(B, hs * ws_n, ws * ws, self.dim)
+        # NeighborWindowAttention's own output projection (use_proj=True,
+        # swin_transformer.py:692-693) — the block's joint proj comes after
+        out = nn.Dense(self.dim, name="proj")(out)
         out = _unpatchify(out, ws, hs, ws_n)[:, :H, :W, :]
         return out
 

@@ -1455,3 +1455,475 @@ class OracleFlowFormer(nn.Module):
         context = self.context_encoder(ev1)
         mem, cost_maps, _ = self.memory_encoder(ev1, ev2, context)
         return self.memory_decoder(mem, cost_maps, context)
+
+
+# -------------------------------------------------------------- GMFlowNet ----
+
+class OracleBasicConvEncoder(nn.Module):
+    """3 stride-2 convs + instance norms (GMflownet/extractor.py:249-305)."""
+
+    def __init__(self, output_dim=256, cin=5):
+        super().__init__()
+        half = max(output_dim // 2, 64)
+        self.conv1 = nn.Conv2d(cin, 64, 7, 2, 3)
+        self.conv2 = nn.Conv2d(64, half, 3, 2, 1)
+        self.conv3 = nn.Conv2d(half, output_dim, 3, 2, 1)
+        self.norm1 = nn.InstanceNorm2d(64)
+        self.norm2 = nn.InstanceNorm2d(half)
+        self.norm3 = nn.InstanceNorm2d(output_dim)
+
+    def forward(self, x):
+        x = F.relu(self.norm1(self.conv1(x)))
+        x = F.relu(self.norm2(self.conv2(x)))
+        return F.relu(self.norm3(self.conv3(x)))
+
+
+class OraclePOLAAttention(nn.Module):
+    """NeighborWindowAttention (GMflownet/swin_transformer.py:636-740)."""
+
+    def __init__(self, dim, ws=7, heads=4):
+        super().__init__()
+        self.dim, self.ws, self.heads = dim, ws, heads
+        self.scale = (dim // heads) ** -0.5
+        n_win = 3
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros(((n_win + 1) * ws - 1) ** 2, heads)
+        )
+        nn.init.normal_(self.relative_position_bias_table, std=0.02)
+        cy = torch.arange(ws).repeat_interleave(ws)
+        cx = torch.arange(ws).repeat(ws)
+        ny = torch.arange(n_win * ws).repeat_interleave(n_win * ws)
+        nx = torch.arange(n_win * ws).repeat(n_win * ws)
+        rel_y = cy[:, None] - ny[None, :] + n_win * ws - 1
+        rel_x = cx[:, None] - nx[None, :] + n_win * ws - 1
+        self.register_buffer(
+            "relative_position_index", rel_y * ((n_win + 1) * ws - 1) + rel_x
+        )
+        self.Wq = nn.Linear(dim, dim)
+        self.Wk = nn.Linear(dim, dim)
+        self.Wv = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, q, k, v):
+        B_, Nq, C = q.shape
+        Nk = k.shape[1]
+        hd = C // self.heads
+        q = self.Wq(q).reshape(B_, Nq, self.heads, hd).permute(0, 2, 1, 3)
+        k = self.Wk(k).reshape(B_, Nk, self.heads, hd).permute(0, 2, 1, 3)
+        v = self.Wv(v).reshape(B_, Nk, self.heads, hd).permute(0, 2, 1, 3)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)
+        ].view(Nq, Nk, -1).permute(2, 0, 1)
+        attn = torch.softmax(attn + bias.unsqueeze(0), -1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, Nq, C)
+        return self.proj(x)
+
+
+class OracleAxialMHA(nn.Module):
+    """MultiHeadAttention, use_proj=False (swin_transformer.py:743-812)."""
+
+    def __init__(self, dim, heads=2):
+        super().__init__()
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.Wq = nn.Linear(dim, dim)
+        self.Wk = nn.Linear(dim, dim)
+        self.Wv = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        hd = C // self.heads
+        q = self.Wq(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        k = self.Wk(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        v = self.Wv(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        attn = torch.softmax((q * self.scale) @ k.transpose(-2, -1), -1)
+        return (attn @ v).transpose(1, 2).reshape(B, N, C)
+
+
+class OracleMixAxialPOLABlock(nn.Module):
+    """swin_transformer.py:910-1031."""
+
+    def __init__(self, dim=256, heads=8, ws=7):
+        super().__init__()
+        hd = dim // heads
+        self.ws = ws
+        self.local_chl = (heads - 4) * hd
+        self.axis_chl = 2 * hd
+        self.norm1 = nn.LayerNorm(dim)
+        self.localAttn = OraclePOLAAttention(self.local_chl, ws, heads - 4)
+        self.horizAttn = OracleAxialMHA(self.axis_chl)
+        self.vertiAttn = OracleAxialMHA(self.axis_chl)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = OracleFFMlp(dim)
+
+    def forward(self, x, H, W):
+        B, L, C = x.shape
+        ws = self.ws
+        short = x
+        x = self.norm1(x).view(B, H, W, C)
+        xl = x[..., : self.local_chl]
+        xh = x[..., self.local_chl : self.local_chl + self.axis_chl]
+        xv = x[..., self.local_chl + self.axis_chl :]
+
+        pr, pb = (ws - W % ws) % ws, (ws - H % ws) % ws
+        xl = F.pad(xl, (0, 0, 0, pr, 0, pb))
+        _, Hp, Wp, Cl = xl.shape
+        qwin = (
+            xl.view(B, Hp // ws, ws, Wp // ws, ws, Cl)
+            .permute(0, 1, 3, 2, 4, 5)
+            .reshape(-1, ws * ws, Cl)
+        )
+        kv = F.pad(xl, (0, 0, ws, ws, ws, ws))
+        kv = F.unfold(kv.permute(0, 3, 1, 2), 3 * ws, stride=ws)
+        kv = kv.permute(0, 2, 1).reshape(-1, Cl, (3 * ws) ** 2).permute(0, 2, 1)
+        ol = self.localAttn(qwin, kv, kv)
+        ol = (
+            ol.view(B, Hp // ws, Wp // ws, ws, ws, Cl)
+            .permute(0, 1, 3, 2, 4, 5)
+            .reshape(B, Hp, Wp, Cl)[:, :H, :W, :]
+        )
+
+        oh = self.horizAttn(xh.reshape(B * H, W, self.axis_chl)).view(B, H, W, -1)
+        ov = self.vertiAttn(
+            xv.transpose(1, 2).reshape(B * W, H, self.axis_chl)
+        ).view(B, W, H, -1).transpose(1, 2)
+
+        y = torch.cat([ol, oh, ov], -1).view(B, L, C)
+        x = short + self.proj(y)
+        return x + self.mlp(self.norm2(x))
+
+
+class OracleGMFlowNet(nn.Module):
+    """GMflownet_model.py:37-185 (use_mix_attn=True)."""
+
+    def __init__(self, cin=5, depth=6):
+        super().__init__()
+
+        class Trans(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = nn.ModuleList(
+                    [OracleMixAxialPOLABlock() for _ in range(depth)]
+                )
+                self.norm = nn.LayerNorm(256)
+
+            def forward(self, x):
+                H, W = x.shape[2:]
+                x = x.flatten(2).transpose(1, 2)
+                for blk in self.blocks:
+                    x = blk(x, H, W)
+                x = self.norm(x)
+                return x.view(-1, H, W, 256).permute(0, 3, 1, 2)
+
+        self.fnet = nn.Sequential(OracleBasicConvEncoder(256, cin), Trans())
+        self.cnet = OracleBasicEncoder(256, "batch", cin)
+        self.update_block = OracleUpdateBlock()
+
+    def forward(self, ev1, ev2, iters=4):
+        f1 = self.fnet(ev1)
+        f2 = self.fnet(ev2)
+        N, C, fH, fW = f1.shape
+        corr_fn = OracleCorrBlock(f1, f2)
+        corr_map = torch.matmul(
+            f1.view(N, C, -1).transpose(1, 2), f2.view(N, C, -1)
+        ) / (C ** 0.5)
+        soft = torch.softmax(corr_map, 2) * torch.softmax(corr_map, 1)
+
+        cnet = self.cnet(ev1)
+        net, inp = torch.split(cnet, [128, 128], 1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+
+        ys, xs = torch.meshgrid(torch.arange(fH), torch.arange(fW), indexing="ij")
+        coords0 = torch.stack([xs, ys], 0).float()[None].repeat(N, 1, 1, 1)
+
+        match12, idx12 = soft.max(2)
+        match21, _ = soft.max(1)
+        match21_g = torch.gather(match21, 1, idx12)
+        matched = (match12 - match21_g) == 0
+        ident = torch.arange(fH * fW)[None].repeat(N, 1)
+        cindex = torch.where(matched, idx12, ident).reshape(N, fH, fW)
+        coords1 = torch.stack([cindex % fW, cindex // fW], 1).float()
+
+        preds = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta = self.update_block(net, inp, corr, flow)
+            coords1 = coords1 + delta
+            preds.append(OracleERAFT.upsample_flow(coords1 - coords0, up_mask))
+        return preds, soft
+
+
+# ------------------------------------------------------------------ SKFlow ----
+
+class OraclePCBlock(nn.Module):
+    """PCBlock4_Deep_nopool_res (SKflow/update.py:8-32)."""
+
+    def __init__(self, cin, cout, k_conv):
+        super().__init__()
+        self.conv_list = nn.ModuleList(
+            [nn.Conv2d(cin, cin, k, 1, k // 2, groups=cin) for k in k_conv]
+        )
+        self.ffn1 = nn.Sequential(
+            nn.Conv2d(cin, int(1.5 * cin), 1), nn.GELU(),
+            nn.Conv2d(int(1.5 * cin), cin, 1),
+        )
+        self.pw = nn.Conv2d(cin, cin, 1)
+        self.ffn2 = nn.Sequential(
+            nn.Conv2d(cin, int(1.5 * cin), 1), nn.GELU(),
+            nn.Conv2d(int(1.5 * cin), cout, 1),
+        )
+
+    def forward(self, x):
+        x = F.gelu(x + self.ffn1(x))
+        for conv in self.conv_list:
+            x = F.gelu(x + conv(x))
+        x = F.gelu(x + self.pw(x))
+        return self.ffn2(x)
+
+
+class OracleSKUpdateBlock(nn.Module):
+    """SKUpdateBlock6_Deep_nopoolres_AllDecoder (SKflow/update.py:35-89)."""
+
+    def __init__(self, k_conv=(1, 15), updater_conv=(1, 7)):
+        super().__init__()
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.convc1 = OraclePCBlock(324, 256, k_conv)
+                self.convc2 = OraclePCBlock(256, 192, k_conv)
+                self.convf1 = nn.Conv2d(2, 128, 1)
+                self.convf2 = OraclePCBlock(128, 64, k_conv)
+                self.conv = OraclePCBlock(256, 126, k_conv)
+
+            def forward(self, flow, corr):
+                cor = self.convc2(F.gelu(self.convc1(corr)))
+                flo = self.convf2(self.convf1(flow))
+                out = self.conv(torch.cat([cor, flo], 1))
+                return torch.cat([out, flow], 1)
+
+        self.encoder = Enc()
+        self.gru = OraclePCBlock(512, 128, updater_conv)
+        self.flow_head = OraclePCBlock(128, 2, k_conv)
+        self.mask = nn.Sequential(
+            nn.Conv2d(128, 256, 3, padding=1), nn.ReLU(), nn.Conv2d(256, 576, 1)
+        )
+        self.aggregator = OracleGMAAggregate(128)
+
+    def forward(self, net, inp, corr, flow, attention):
+        m = self.encoder(flow, corr)
+        mg = self.aggregator(attention, m)
+        net = self.gru(torch.cat([net, inp, m, mg], 1))
+        return net, 0.25 * self.mask(net), self.flow_head(net)
+
+
+class OracleSKFlow(nn.Module):
+    """SK_Decoder (SKflow/models/sk_decoder.py:44-152), incl. the dead
+    att.pos_emb tables (SKflow/gma.py:52, content-only forward)."""
+
+    def __init__(self, cin=5):
+        super().__init__()
+        self.fnet = OracleBasicEncoder(256, "instance", cin)
+        self.cnet = OracleBasicEncoder(256, "batch", cin)
+        self.update_block = OracleSKUpdateBlock()
+        self.att = OracleGMAAttention()
+
+        class PosEmb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rel_height = nn.Embedding(2 * 160 - 1, 128)
+                self.rel_width = nn.Embedding(2 * 160 - 1, 128)
+
+        self.att.pos_emb = PosEmb()
+
+    def forward(self, ev1, ev2, iters=4):
+        f1, f2 = self.fnet(ev1), self.fnet(ev2)
+        corr_fn = OracleCorrBlock(f1, f2)
+        cnet = self.cnet(ev1)
+        net, inp = torch.split(cnet, [128, 128], 1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        attention = self.att(inp)
+        N, _, Hp, Wp = ev1.shape
+        ys, xs = torch.meshgrid(
+            torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij"
+        )
+        coords0 = torch.stack([xs, ys], 0).float()[None].repeat(N, 1, 1, 1)
+        coords1 = coords0.clone()
+        preds = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta = self.update_block(net, inp, corr, flow, attention)
+            coords1 = coords1 + delta
+            preds.append(OracleERAFT.upsample_flow(coords1 - coords0, up_mask))
+        return preds
+
+
+# ----------------------------------------------------------------- KPAFlow ----
+
+class OracleKPAAttn(nn.Module):
+    """KPAEnc / KPA patch-window attention (KPAflow/module.py:64-224).
+    use_focus=True adds the distance-focus kernel (the decoder KPA)."""
+
+    def __init__(self, chnn, sc, use_focus=False):
+        super().__init__()
+        self.sc = sc
+        self.scale = chnn ** -0.5
+        self.use_focus = use_focus
+        self.unfold = nn.Unfold(3 * sc, padding=sc, stride=sc)
+        self.to_qk = nn.Conv2d(chnn, chnn * 2, 1, bias=False)
+        self.to_v = nn.Conv2d(chnn, chnn, 1, bias=False)
+        self.gamma = nn.Parameter(torch.zeros(1))
+        if use_focus:
+            self.w_prelu = nn.Parameter(torch.zeros(1) + 1 / ((3 * sc - 1) / 2))
+
+    def _focus(self, attn, b, h, w, h_sc, w_sc):
+        import math as _m
+
+        sc = self.sc
+        k = int(_m.sqrt(attn.shape[1]))
+        crd = torch.linspace(0, k - 1, k)
+        x = crd.view(1, 1, k, 1, 1).expand(b, 1, k, h, w)
+        y = crd.view(1, k, 1, 1, 1).expand(b, k, 1, h, w)
+        idx_x = sc + torch.linspace(0, w - 1, w).view(1, 1, 1, 1, w) % sc
+        idx_y = sc + torch.linspace(0, h - 1, h).view(1, 1, 1, h, 1) % sc
+        half = 2 * sc
+        ox = -1 * F.prelu(abs(x - idx_x) - half, self.w_prelu * 0.02) + 1.0
+        ox[ox < 0] = 0
+        oy = -1 * F.prelu(abs(y - idx_y) - half, self.w_prelu * 0.02) + 1.0
+        oy[oy < 0] = 0
+        ker = (ox * oy).view(b, k * k, h_sc, sc, w_sc, sc)
+        return ker.permute(0, 1, 2, 4, 3, 5).reshape(b, k * k, h_sc * w_sc, sc * sc)
+
+    def forward(self, feat_qk_src, feat_v_src):
+        b, c, h_in, w_in = feat_qk_src.shape
+        sc = self.sc
+        xp, yp = sc - w_in % sc, sc - h_in % sc
+        fq = F.pad(feat_qk_src, (0, xp, 0, yp))
+        fv = F.pad(feat_v_src, (0, xp, 0, yp))
+        _, _, h, w = fq.shape
+        h_sc, w_sc = h // sc, w // sc
+
+        fm = F.pad(torch.ones(1, 1, h_in, w_in), (0, xp, 0, yp))
+        fm_k = self.unfold(fm).view(1, 1, -1, h_sc * w_sc)
+        fm_q = fm.view(1, 1, h_sc, sc, w_sc, sc).permute(0, 1, 2, 4, 3, 5)
+        fm_q = fm_q.reshape(1, 1, h_sc * w_sc, sc * sc)
+        am = (torch.einsum("bckn,bcns->bkns", fm_k, fm_q) - 1) * 99.0
+
+        q, kf = self.to_qk(fq).chunk(2, 1)
+        kf = self.unfold(kf).view(b, c, -1, h_sc * w_sc) * self.scale
+        q = q.view(b, c, h_sc, sc, w_sc, sc).permute(0, 1, 2, 4, 3, 5)
+        q = q.reshape(b, c, h_sc * w_sc, sc * sc)
+        attn = torch.einsum("bckn,bcns->bkns", kf, q) + am
+        if self.use_focus:
+            attn = self._focus(attn, b, h, w, h_sc, w_sc).view(attn.shape) * attn
+        attn = torch.softmax(attn, 1)
+
+        v = self.unfold(self.to_v(fv)).view(b, c, -1, h_sc * w_sc)
+        r = torch.einsum("bkns,bckn->bcns", attn, v)
+        r = r.view(b, c, h_sc, w_sc, sc, sc).permute(0, 1, 2, 4, 3, 5)
+        r = r.reshape(b, c, h, w)[:, :, :h_in, :w_in]
+        return feat_v_src + r * self.gamma
+
+
+class OracleKPAFlowDec(nn.Module):
+    """KPAFlowDec (module.py:13-61)."""
+
+    def __init__(self, chnn=128, sc=19):
+        super().__init__()
+        self.C_cor = nn.Sequential(
+            nn.Conv2d(324, 256, 1), nn.ReLU(), nn.Conv2d(256, 192, 3, padding=1),
+            nn.ReLU(),
+        )
+        self.C_flo = nn.Sequential(
+            nn.Conv2d(2, 128, 7, padding=3), nn.ReLU(),
+            nn.Conv2d(128, 64, 3, padding=1), nn.ReLU(),
+        )
+        self.C_mo = nn.Sequential(
+            nn.Conv2d(256, 126, 3, padding=1), nn.ReLU(),
+        )
+        self.kpa = OracleKPAAttn(chnn, sc, use_focus=True)
+
+        # SepConvGRU with input 3*chnn (module.py:180-224)
+        class Gru(nn.Module):
+            def __init__(self, hd, ind):
+                super().__init__()
+                self.convz1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convr1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convq1 = nn.Conv2d(hd + ind, hd, (1, 5), padding=(0, 2))
+                self.convz2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convr2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+                self.convq2 = nn.Conv2d(hd + ind, hd, (5, 1), padding=(2, 0))
+
+            def forward(self, h, x):
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz1(hx))
+                r = torch.sigmoid(self.convr1(hx))
+                qq = torch.tanh(self.convq1(torch.cat([r * h, x], 1)))
+                h = (1 - z) * h + z * qq
+                hx = torch.cat([h, x], 1)
+                z = torch.sigmoid(self.convz2(hx))
+                r = torch.sigmoid(self.convr2(hx))
+                qq = torch.tanh(self.convq2(torch.cat([r * h, x], 1)))
+                return (1 - z) * h + z * qq
+
+        self.gru = Gru(chnn, 3 * chnn)
+        self.C_flow = nn.Sequential(
+            nn.Conv2d(chnn, chnn * 2, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(chnn * 2, 2, 3, padding=1),
+        )
+
+    def forward(self, net, inp, corr, flow):
+        feat_mo = torch.cat(
+            [self.C_mo(torch.cat([self.C_cor(corr), self.C_flo(flow)], 1)), flow], 1
+        )
+        feat_moa = self.kpa(inp, feat_mo)
+        net = self.gru(net, torch.cat([inp, feat_mo, feat_moa], 1))
+        return net, self.C_flow(net)
+
+
+class OracleKPAFlow(nn.Module):
+    """KPAFlow (KPAflow/KPAFlow.py:43-160) — incl. the frozen 'zero' param."""
+
+    def __init__(self, cin=5, sc_enc=13, sc_dec=19):
+        super().__init__()
+        self.fnet = OracleBasicEncoder(256, "instance", cin)
+        self.cnet = OracleBasicEncoder(256, "batch", cin)
+        self.update_block = OracleKPAFlowDec(128, sc_dec)
+        self.trans = OracleKPAAttn(256, sc_enc)
+        self.zero = nn.Parameter(torch.zeros(12), requires_grad=False)
+
+    def forward(self, ev1, ev2, iters=3):
+        f1 = self.fnet(ev1)
+        f2 = self.fnet(ev2)
+        # trans(fmap) uses the same tensor for qk and v (KPAFlow.py:120-121)
+        f1 = self.trans(f1, f1)
+        f2 = self.trans(f2, f2)
+        corr_fn = OracleCorrBlock(f1, f2)
+        cnet = self.cnet(ev1)
+        net, inp = torch.split(cnet, [128, 128], 1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        N, _, Hp, Wp = ev1.shape
+        ys, xs = torch.meshgrid(
+            torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij"
+        )
+        coords0 = torch.stack([xs, ys], 0).float()[None].repeat(N, 1, 1, 1)
+        coords1 = coords0.clone()
+        flows = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, delta = self.update_block(net, inp, corr, flow)
+            coords1 = coords1 + delta
+            f = coords1 - coords0
+            up = F.interpolate(
+                f, scale_factor=8, mode="bilinear", align_corners=True
+            ) * 8
+            flows.append(up)
+        return flows
