@@ -189,6 +189,75 @@ def digit_merge_alias(mod_path: str) -> Tuple[str, ...]:
 gmflow_alias = digit_merge_alias
 
 
+def ste_alias(mod_path: str) -> Tuple[str, ...]:
+    """STE-FlowNet: drop the 'gru' level inside gru_updateN (the
+    SmallUpdateBlock wrapper, reference STEmodel/STEFlow.py:43-56, is a
+    bare ConvGRU in flax); everything else splits directly."""
+    parts = mod_path.split(".")
+    out = []
+    for i, p in enumerate(parts):
+        if p == "gru" and i > 0 and parts[i - 1].startswith("gru_update"):
+            continue
+        out.append(p)
+    return tuple(out)
+
+
+# ConvTranspose module paths shared by the spike/STE FlowNetS decoders
+SPIKE_TCONV_PATHS = (
+    "deconv3.0", "deconv2.0", "deconv1.0",
+    "upsampled_flow4_to_3", "upsampled_flow3_to_2",
+    "upsampled_flow2_to_1", "upsampled_flow1_to_0",
+)
+# STE additionally registers unused flow_deconvN heads (STEFlow.py:110-119)
+STE_DROP = ("flow_deconv",)
+
+
+def irrpwc_alias(mod_path: str) -> Tuple[str, ...]:
+    """IRR-PWC family torch paths → flax paths (reference
+    model/IRRPWC/pwc_modules.py module layout):
+
+      * ``feature_pyramid_extractor.convs.L.S.0`` → ``convs_L_S / 0``
+        (ModuleList → Sequential(conv, conv) → inner Conv2d),
+      * dense-estimator ``convN.0`` stays ``convN / 0`` (ConvRelu inner),
+        ``conv_last.0`` folds to ``conv_last_0``,
+      * context-network ``convs.i(.0)`` → ``convs_i / 0`` with the final
+        ``convs.6.0`` folded to ``convs_6_0``,
+      * ``conv_1x1.L.0`` / ``flow_estimators.L`` / ``occ_estimators.L``
+        ModuleList indices merge into the name."""
+    parts = mod_path.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        nxt2 = parts[i + 2] if i + 2 < len(parts) else None
+        if p == "feature_pyramid_extractor" and nxt == "convs":
+            out.append(p)
+            out.append(f"convs_{parts[i + 2]}_{parts[i + 3]}")
+            i += 4
+        elif p == "conv_last" and nxt == "0":
+            out.append("conv_last_0")
+            i += 2
+        elif p == "convs" and nxt is not None and nxt.isdigit():
+            if nxt == "6" and nxt2 == "0":
+                out.append("convs_6_0")
+                i += 3
+            else:
+                out.append(f"convs_{nxt}")
+                i += 2
+        elif (
+            p in ("conv_1x1", "flow_estimators", "occ_estimators")
+            and nxt is not None
+            and nxt.isdigit()
+        ):
+            out.append(f"{p}_{nxt}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out)
+
+
 def gmflownet_alias(mod_path: str) -> Tuple[str, ...]:
     """GMFlowNet torch paths → flax paths: the fnet Sequential's two stages
     flatten to fnet_0 / fnet_1_blocks_{i} / fnet_1_norm (reference

@@ -526,8 +526,13 @@ class PWCFamilyNet(nn.Module):
             if self.occ:
                 occ_f = run_arm(occ_est[l], occ_ctx[l], corr_f, x1_in, occ_f, use_feat)
                 if self.bi:
+                    # reference quirk: the NON-irr occ_bi variant feeds x1
+                    # (not x2) to the backward occlusion estimator
+                    # (pwcnet_occ_bi.py:103); the irr variant uses x2_1by1
+                    # correctly (pwcnet_irr_occ_bi.py:113)
+                    occ_feat_b = x2_in if self.irr else x1_in
                     occ_b = run_arm(
-                        occ_est[l], occ_ctx[l], corr_b, x2_in, occ_b, use_feat
+                        occ_est[l], occ_ctx[l], corr_b, occ_feat_b, occ_b, use_feat
                     )
 
             if self.irr:

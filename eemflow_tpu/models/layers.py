@@ -90,20 +90,24 @@ class Deconv(nn.Module):
     """
 
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         w = self.param("kernel", kaiming_in, (4, 4, cin, self.features), jnp.float32)
-        # transposed conv == conv with lhs_dilation=s, padding k-1-p, flipped kernel
+        # transposed conv == conv with lhs_dilation=s, padding k-1-p (=2,
+        # symmetric; output exactly 2×input), flipped kernel
         y = jax.lax.conv_general_dilated(
             x,
             w[::-1, ::-1],
             window_strides=(1, 1),
-            padding=((2, 1), (2, 1)),
+            padding=((2, 2), (2, 2)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if not self.use_bias:
+            return y
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return y + b
 

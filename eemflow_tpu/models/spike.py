@@ -27,10 +27,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from eemflow_tpu.models.layers import Deconv as TorchDeconv
 from eemflow_tpu.models.layers import conv2d, leaky_relu01
-from eemflow_tpu.models.raft_core import FlowHead
 from eemflow_tpu.ops.correlation import local_correlation
-from eemflow_tpu.ops.warp import backwarp
+from eemflow_tpu.ops.warp import backwarp_border
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -59,15 +59,20 @@ def if_neuron(membrane: jax.Array, threshold: float):
 
 
 class _ConvLR(nn.Module):
-    """conv (no bias) + LeakyReLU(0.1) (reference spikemodel/util.py conv)."""
+    """conv + LeakyReLU(0.1) (spikemodel/util.py conv: bias=False;
+    STEmodel/util.py conv: bias=True — batchNorm=False branches, the only
+    constructible configuration upstream: the batchNorm deconvs normalize
+    in_planes after producing out_planes, a latent crash)."""
 
     features: int
     stride: int = 1
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
         return leaky_relu01(
-            conv2d(self.features, 3, self.stride, 1, use_bias=False, name="0")(x)
+            conv2d(self.features, 3, self.stride, 1, use_bias=self.use_bias,
+                   name="0")(x)
         )
 
 
@@ -83,23 +88,31 @@ class _ConvS(nn.Module):
 
 
 class _Deconv(nn.Module):
+    """deconv (util.py): torch-layout ConvTranspose(4,2,1) + LeakyReLU."""
+
     features: int
     use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
         return leaky_relu01(
-            nn.ConvTranspose(
-                self.features, (4, 4), strides=(2, 2), padding="SAME",
-                use_bias=self.use_bias, name="deconv",
-            )(x)
+            TorchDeconv(self.features, use_bias=self.use_bias, name="0")(x)
         )
 
 
-def _upflow(features, name):
-    return nn.ConvTranspose(
-        features, (4, 4), strides=(2, 2), padding="SAME", name=name
-    )
+def _upflow(features, name, use_bias=False):
+    """bare ConvTranspose(in→32, 4, 2, 1) — the upsampled_flowX_to_Y heads."""
+    return TorchDeconv(features, use_bias=use_bias, name=name)
+
+
+class _PredictFlow(nn.Module):
+    """predict_flow (util.py, batchNorm=False): Sequential(Conv2d 1×1)."""
+
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return conv2d(2, 1, 1, 0, use_bias=self.use_bias, name="0")(x)
 
 
 def crop_like(a, b):
@@ -156,7 +169,7 @@ class SpikeFlowNetS(nn.Module):
         r22 = _ConvLR(512, 1, name="conv_r22")(r21) + r12
 
         def predict(feat, name):
-            return conv2d(2, 1, 1, 0, use_bias=False, name=name)(feat)
+            return _PredictFlow(use_bias=False, name=name)(feat)
 
         flow4 = predict(_upflow(32, "upsampled_flow4_to_3")(r22), "predict_flow4")
         flow4_up = crop_like(flow4, out_conv3)
@@ -209,36 +222,37 @@ class STEFlowNet(nn.Module):
         B, H, W, C, T = x.shape
         nd = (2 * self.md + 1) ** 2
 
-        conv1 = _ConvLR(64, 2, name="conv1")
-        conv2 = _ConvLR(128, 2, name="conv2")
-        conv3 = _ConvLR(256, 2, name="conv3")
-        conv4 = _ConvLR(512, 2, name="conv4")
-        conv2_2 = _ConvLR(128, 2, name="conv2_2")
-        conv3_2 = _ConvLR(256, 2, name="conv3_2")
-        conv4_2 = _ConvLR(512, 2, name="conv4_2")
+        # STEmodel/util.py convs carry bias=True (batchNorm=False branch)
+        conv1 = _ConvLR(64, 2, use_bias=True, name="conv1")
+        conv2 = _ConvLR(128, 2, use_bias=True, name="conv2")
+        conv3 = _ConvLR(256, 2, use_bias=True, name="conv3")
+        conv4 = _ConvLR(512, 2, use_bias=True, name="conv4")
+        conv2_2 = _ConvLR(128, 2, use_bias=True, name="conv2_2")
+        conv3_2 = _ConvLR(256, 2, use_bias=True, name="conv3_2")
+        conv4_2 = _ConvLR(512, 2, use_bias=True, name="conv4_2")
 
         gru1 = _ConvGRU(64 + nd, name="gru_update1")
         gru2 = _ConvGRU(128 + nd, name="gru_update2")
         gru3 = _ConvGRU(256 + nd, name="gru_update3")
         gru4 = _ConvGRU(512 + nd, name="gru_update4")
 
-        r00 = _ConvLR(512, 1, name="conv_r00")
-        r11 = _ConvLR(512, 1, name="conv_r11")
-        r12 = _ConvLR(512, 1, name="conv_r12")
-        r21 = _ConvLR(512, 1, name="conv_r21")
-        r22 = _ConvLR(512, 1, name="conv_r22")
+        r00 = _ConvLR(512, 1, use_bias=True, name="conv_r00")
+        r11 = _ConvLR(512, 1, use_bias=True, name="conv_r11")
+        r12 = _ConvLR(512, 1, use_bias=True, name="conv_r12")
+        r21 = _ConvLR(512, 1, use_bias=True, name="conv_r21")
+        r22 = _ConvLR(512, 1, use_bias=True, name="conv_r22")
 
-        deconv3 = _Deconv(128, name="deconv3")
-        deconv2 = _Deconv(64, name="deconv2")
-        deconv1 = _Deconv(4, name="deconv1")
+        deconv3 = _Deconv(128, use_bias=True, name="deconv3")
+        deconv2 = _Deconv(64, use_bias=True, name="deconv2")
+        deconv1 = _Deconv(4, use_bias=True, name="deconv1")
 
-        up4 = _upflow(32, "upsampled_flow4_to_3")
-        up3 = _upflow(32, "upsampled_flow3_to_2")
-        up2 = _upflow(32, "upsampled_flow2_to_1")
-        up1 = _upflow(32, "upsampled_flow1_to_0")
+        up4 = _upflow(32, "upsampled_flow4_to_3", use_bias=True)
+        up3 = _upflow(32, "upsampled_flow3_to_2", use_bias=True)
+        up2 = _upflow(32, "upsampled_flow2_to_1", use_bias=True)
+        up1 = _upflow(32, "upsampled_flow1_to_0", use_bias=True)
 
         predict_heads = {
-            name: conv2d(2, 1, 1, 0, use_bias=False, name=name)
+            name: _PredictFlow(use_bias=True, name=name)
             for name in ("predict_flow4", "predict_flow3", "predict_flow2",
                          "predict_flow1")
         }
@@ -259,38 +273,45 @@ class STEFlowNet(nn.Module):
         flow4_all = [jnp.zeros((B, h8, w8, 2), x.dtype) for _ in range(T)]
 
         f1_first = f2_first = f3_first = f4_first = None
-        final = None
+        preds = []
         for _ in range(self.num_iterative):
             for t in range(T):
                 inp = x[:, :, :, 0:2, t]
                 c1 = conv1(inp)
                 if f1_first is None or t == 0:
                     f1_first = c1
-                warp1 = backwarp(c1, flow2_all[t])
-                corr1 = leaky_relu01(local_correlation(f1_first, warp1, self.md))
+                warp1 = backwarp_border(c1, flow2_all[t])
+                # corr() applies LeakyReLU internally AND the forward applies
+                # leakyRELU again (STEmodel/corr.py:26 + STEFlow.py:201) —
+                # a double leaky: negatives scale by 0.01
+                corr1 = leaky_relu01(leaky_relu01(
+                    local_correlation(f1_first, warp1, self.md)))
                 net1 = gru1(net1, jnp.concatenate([c1, corr1], axis=-1))
 
                 c2 = conv2(net1)
                 c2_1 = conv2_2(c1)
                 if t == 0:
                     f2_first = c2_1
-                warp2 = backwarp(c2_1, flow3_all[t])
-                corr2 = leaky_relu01(local_correlation(f2_first, warp2, self.md))
+                warp2 = backwarp_border(c2_1, flow3_all[t])
+                corr2 = leaky_relu01(leaky_relu01(
+                    local_correlation(f2_first, warp2, self.md)))
                 net2 = gru2(net2, jnp.concatenate([c2, corr2], axis=-1))
 
                 c3 = conv3(net2)
                 c3_1 = conv3_2(c2_1)
                 if t == 0:
                     f3_first = c3_1
-                warp3 = backwarp(c3_1, flow4_all[t])
-                corr3 = leaky_relu01(local_correlation(f3_first, warp3, self.md))
+                warp3 = backwarp_border(c3_1, flow4_all[t])
+                corr3 = leaky_relu01(leaky_relu01(
+                    local_correlation(f3_first, warp3, self.md)))
                 net3 = gru3(net3, jnp.concatenate([c3, corr3], axis=-1))
 
                 c4 = conv4(net3)
                 c4_1 = conv4_2(c3_1)
                 if t == 0:
                     f4_first = c4_1
-                corr4 = leaky_relu01(local_correlation(f4_first, c4_1, self.md))
+                corr4 = leaky_relu01(leaky_relu01(
+                    local_correlation(f4_first, c4_1, self.md)))
                 net4 = gru4(net4, jnp.concatenate([c4, corr4], axis=-1))
 
                 o00 = r00(net4)
@@ -315,6 +336,7 @@ class STEFlowNet(nn.Module):
                 concat1 = jnp.concatenate([net1, d1, flow2], axis=-1)
                 flow1 = predict(up1(concat1), "predict_flow1") + flow1_all[t]
                 flow1_all[t] = flow1
-                final = flow1
+            # one prediction per outer pass (reference STEFlow.py:257)
+            preds.append(flow1)
 
-        return x, [final]
+        return x, preds

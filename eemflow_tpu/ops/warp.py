@@ -114,6 +114,20 @@ def backwarp(x: jax.Array, flow: jax.Array) -> jax.Array:
                              align_corners=False)
 
 
+def backwarp_border(x: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backwarp with border padding, align_corners=False (the STE-FlowNet
+    ``flow_warp``, reference ``STEmodel/STEFlow.py:324-347``): grid_sample's
+    border mode equals clamping the remapped sample coordinates into
+    [0, size-1] before the bilinear gather."""
+    B, H, W, C = x.shape
+    gx, gy = _base_grid(B, H, W, flow.dtype)
+    px = (gx + flow[..., 0]) * (W / max(W - 1, 1)) - 0.5
+    py = (gy + flow[..., 1]) * (H / max(H - 1, 1)) - 0.5
+    px = jnp.clip(px, 0.0, W - 1)
+    py = jnp.clip(py, 0.0, H - 1)
+    return _gather_bilinear(x, px, py)
+
+
 def backwarp_masked(x: jax.Array, flow: jax.Array) -> jax.Array:
     """WarpingLayer_no_div equivalent: backwarp then zero pixels whose
     warped ones-mask is < 1 (partially/fully out of bounds).

@@ -1927,3 +1927,618 @@ class OracleKPAFlow(nn.Module):
             ) * 8
             flows.append(up)
         return flows
+
+
+# ----------------------------------------------------------------- IRR-PWC ----
+
+def _pwc_conv(cin, cout, k=3, s=1, d=1, relu=True):
+    mods = [nn.Conv2d(cin, cout, k, s, ((k - 1) * d) // 2, dilation=d)]
+    if relu:
+        mods.append(nn.LeakyReLU(0.1))
+    return nn.Sequential(*mods)
+
+
+class OraclePWCFeatureExtractor(nn.Module):
+    """pwc_modules.py:90-108."""
+
+    def __init__(self, num_chs):
+        super().__init__()
+        self.convs = nn.ModuleList(
+            [nn.Sequential(_pwc_conv(ci, co, s=2), _pwc_conv(co, co))
+             for ci, co in zip(num_chs[:-1], num_chs[1:])]
+        )
+
+    def forward(self, x):
+        pyr = []
+        for conv in self.convs:
+            x = conv(x)
+            pyr.append(x)
+        return pyr[::-1]
+
+
+class OraclePWCDenseEstimator(nn.Module):
+    """FlowEstimatorDense / OccEstimatorDense (pwc_modules.py:157-208)."""
+
+    def __init__(self, ch_in, out_ch=2):
+        super().__init__()
+        self.conv1 = _pwc_conv(ch_in, 128)
+        self.conv2 = _pwc_conv(ch_in + 128, 128)
+        self.conv3 = _pwc_conv(ch_in + 256, 96)
+        self.conv4 = _pwc_conv(ch_in + 352, 64)
+        self.conv5 = _pwc_conv(ch_in + 416, 32)
+        self.conv_last = _pwc_conv(ch_in + 448, out_ch, relu=False)
+
+    def forward(self, x):
+        for c in (self.conv1, self.conv2, self.conv3, self.conv4, self.conv5):
+            x = torch.cat([c(x), x], 1)
+        return x, self.conv_last(x)
+
+
+class OraclePWCContext(nn.Module):
+    """ContextNetwork / OccContextNetwork (pwc_modules.py:212-240)."""
+
+    def __init__(self, ch_in, out_ch=2):
+        super().__init__()
+        cfg = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
+        mods = []
+        prev = ch_in
+        for f, d in cfg:
+            mods.append(_pwc_conv(prev, f, 3, 1, d))
+            prev = f
+        mods.append(_pwc_conv(prev, out_ch, relu=False))
+        self.convs = nn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.convs(x)
+
+
+def _pwc_cost_volume(f1, f2, md=4):
+    """compute_cost_volume (pwc_modules.py:43-64): mean over C."""
+    _, C, H, W = f1.shape
+    f2p = F.pad(f2, (md, md, md, md))
+    outs = []
+    for i in range(2 * md + 1):
+        for j in range(2 * md + 1):
+            outs.append((f1 * f2p[:, :, i : i + H, j : j + W]).mean(1, keepdim=True))
+    return torch.cat(outs, 1)
+
+
+def _pwc_warp(x, flow, height_im, width_im, div_flow):
+    """WarpingLayer (pwc_modules.py:118-137), CPU."""
+    B, C, H, W = x.shape
+    gw = torch.linspace(-1, 1, W).view(1, 1, 1, W).expand(B, 1, H, W)
+    gh = torch.linspace(-1, 1, H).view(1, 1, H, 1).expand(B, 1, H, W)
+    grid = torch.cat([gw, gh], 1)
+    fw = flow[:, 0] * 2 / max(width_im - 1, 1) / div_flow
+    fh = flow[:, 1] * 2 / max(height_im - 1, 1) / div_flow
+    g = (grid + torch.stack([fw, fh], 1)).permute(0, 2, 3, 1)
+    xw = F.grid_sample(x, g, align_corners=True)
+    mask = F.grid_sample(torch.ones_like(x), g, align_corners=True)
+    return xw * (mask >= 1.0).float()
+
+
+def _pwc_upsample_as(x, target, height=None):
+    h, w = target.shape[-2:]
+    return F.interpolate(x, (h, w), mode="bilinear", align_corners=True)
+
+
+def _pwc_rescale(flow, div_flow, width_im, height_im, to_local=True):
+    if to_local:
+        us = flow.shape[3] / width_im / div_flow
+        vs = flow.shape[2] / height_im / div_flow
+    else:
+        us = width_im * div_flow / flow.shape[3]
+        vs = height_im * div_flow / flow.shape[2]
+    u, v = flow.chunk(2, 1)
+    return torch.cat([u * us, v * vs], 1)
+
+
+class OracleIRRPWC(nn.Module):
+    """pwcnet_irr.py PWCNet (the reference's live 'irrpwc' registry path)."""
+
+    def __init__(self, cin=5, div_flow=0.05):
+        super().__init__()
+        self.div_flow = div_flow
+        num_chs = [cin, 16, 32, 64, 96, 128, 196]
+        self.feature_pyramid_extractor = OraclePWCFeatureExtractor(num_chs)
+        dim_corr = 81
+        self.flow_estimators = OraclePWCDenseEstimator(dim_corr + 32 + 2)
+        self.context_networks = OraclePWCContext(dim_corr + 32 + 2 + 448 + 2)
+        self.conv_1x1 = nn.ModuleList(
+            [_pwc_conv(c, 32, 1) for c in (196, 128, 96, 64, 32)]
+        )
+
+    def forward(self, ev1, ev2):
+        H, W = ev1.shape[-2:]
+        x1_pyr = self.feature_pyramid_extractor(ev1) + [ev1]
+        x2_pyr = self.feature_pyramid_extractor(ev2) + [ev2]
+        b, _, h0, w0 = x1_pyr[0].shape
+        flow = torch.zeros(b, 2, h0, w0)
+        preds = []
+        for l, (x1, x2) in enumerate(zip(x1_pyr, x2_pyr)):
+            if l == 0:
+                x2_warp = x2
+            else:
+                flow = _pwc_upsample_as(flow, x1)
+                x2_warp = _pwc_warp(x2, flow, H, W, self.div_flow)
+            corr = F.leaky_relu(_pwc_cost_volume(x1, x2_warp), 0.1)
+            flow = _pwc_rescale(flow, self.div_flow, W, H, True)
+            x11 = self.conv_1x1[l](x1)
+            x_intm, res = self.flow_estimators(torch.cat([corr, x11, flow], 1))
+            flow = flow + res
+            flow = flow + self.context_networks(torch.cat([x_intm, flow], 1))
+            flow = _pwc_rescale(flow, self.div_flow, W, H, False)
+            preds.append(
+                F.interpolate(flow, (H, W), mode="bilinear", align_corners=True)
+                * (1.0 / self.div_flow)
+            )
+            if l == 4:
+                break
+        return preds
+
+
+class OraclePWCFamily(nn.Module):
+    """The pwcnet{,_bi,_occ,_occ_bi,_irr_*} family in one oracle; flags
+    mirror the reference files (incl. the non-irr occ_bi x1-for-backward
+    quirk, pwcnet_occ_bi.py:103)."""
+
+    def __init__(self, cin=5, irr=False, bi=False, occ=False, div_flow=0.05):
+        super().__init__()
+        self.irr, self.bi, self.occ = irr, bi, occ
+        self.div_flow = div_flow
+        num_chs = [cin, 16, 32, 64, 96, 128, 196]
+        self.feature_pyramid_extractor = OraclePWCFeatureExtractor(num_chs)
+        dim_corr = 81
+        n_lv = 5
+        if irr:
+            self.flow_estimators = OraclePWCDenseEstimator(dim_corr + 32 + 2)
+            self.context_networks = OraclePWCContext(dim_corr + 32 + 2 + 448 + 2)
+            self.conv_1x1 = nn.ModuleList(
+                [_pwc_conv(c, 32, 1) for c in (196, 128, 96, 64, 32)]
+            )
+            if occ:
+                self.occ_estimators = OraclePWCDenseEstimator(dim_corr + 32 + 1, 1)
+                self.occ_context_networks = OraclePWCContext(
+                    dim_corr + 32 + 1 + 448 + 1, 1
+                )
+        else:
+            chs = (196, 128, 96, 64, 32)
+            self.flow_estimators = nn.ModuleList(
+                [OraclePWCDenseEstimator(dim_corr if l == 0 else dim_corr + chs[l] + 2)
+                 for l in range(n_lv)]
+            )
+            self.context_networks = OraclePWCContext(dim_corr + 32 + 2 + 448 + 2)
+            if occ:
+                self.occ_estimators = nn.ModuleList(
+                    [OraclePWCDenseEstimator(
+                        dim_corr if l == 0 else dim_corr + chs[l] + 1, 1)
+                     for l in range(n_lv)]
+                )
+                self.context_networks_occ = OraclePWCContext(
+                    dim_corr + 32 + 1 + 448 + 1, 1
+                )
+
+    def forward(self, ev1, ev2):
+        H, W = ev1.shape[-2:]
+        x1_pyr = self.feature_pyramid_extractor(ev1)
+        x2_pyr = self.feature_pyramid_extractor(ev2)
+        b, _, h0, w0 = x1_pyr[0].shape
+        flow_f = torch.zeros(b, 2, h0, w0)
+        flow_b = torch.zeros(b, 2, h0, w0)
+        occ_f = torch.zeros(b, 1, h0, w0)
+        occ_b = torch.zeros(b, 1, h0, w0)
+        preds = []
+        for l, (x1, x2) in enumerate(zip(x1_pyr, x2_pyr)):
+            if l == 0:
+                x2_warp, x1_warp = x2, x1
+            else:
+                flow_f = _pwc_upsample_as(flow_f, x1)
+                x2_warp = _pwc_warp(x2, flow_f, H, W, self.div_flow)
+                if self.occ:
+                    occ_f = _pwc_upsample_as(occ_f, x1)
+                if self.bi:
+                    flow_b = _pwc_upsample_as(flow_b, x2)
+                    x1_warp = _pwc_warp(x1, flow_b, H, W, self.div_flow)
+                    if self.occ:
+                        occ_b = _pwc_upsample_as(occ_b, x2)
+            corr_f = F.leaky_relu(_pwc_cost_volume(x1, x2_warp), 0.1)
+            if self.bi:
+                corr_b = F.leaky_relu(_pwc_cost_volume(x2, x1_warp), 0.1)
+
+            if self.irr:
+                flow_f = _pwc_rescale(flow_f, self.div_flow, W, H, True)
+                x1_in = self.conv_1x1[l](x1)
+                if self.bi:
+                    flow_b = _pwc_rescale(flow_b, self.div_flow, W, H, True)
+                    x2_in = self.conv_1x1[l](x2)
+                est = self.flow_estimators
+                ctx = self.context_networks
+                xi_f, rf = est(torch.cat([corr_f, x1_in, flow_f], 1))
+                flow_f = flow_f + rf
+                flow_f = flow_f + ctx(torch.cat([xi_f, flow_f], 1))
+                if self.bi:
+                    xi_b, rb = est(torch.cat([corr_b, x2_in, flow_b], 1))
+                    flow_b = flow_b + rb
+                    flow_b = flow_b + ctx(torch.cat([xi_b, flow_b], 1))
+                if self.occ:
+                    oest, octx = self.occ_estimators, self.occ_context_networks
+                    xo_f, orf = oest(torch.cat([corr_f, x1_in, occ_f], 1))
+                    occ_f = occ_f + orf
+                    occ_f = occ_f + octx(torch.cat([xo_f, occ_f], 1))
+                    if self.bi:
+                        xo_b, orb = oest(torch.cat([corr_b, x2_in, occ_b], 1))
+                        occ_b = occ_b + orb
+                        occ_b = occ_b + octx(torch.cat([xo_b, occ_b], 1))
+                flow_f = _pwc_rescale(flow_f, self.div_flow, W, H, False)
+                if self.bi:
+                    flow_b = _pwc_rescale(flow_b, self.div_flow, W, H, False)
+            else:
+                if l == 0:
+                    xi_f, flow_f = self.flow_estimators[l](corr_f)
+                    if self.bi:
+                        xi_b, flow_b = self.flow_estimators[l](corr_b)
+                    if self.occ:
+                        xo_f, occ_f = self.occ_estimators[l](corr_f)
+                        if self.bi:
+                            xo_b, occ_b = self.occ_estimators[l](corr_b)
+                else:
+                    xi_f, flow_f = self.flow_estimators[l](
+                        torch.cat([corr_f, x1, flow_f], 1))
+                    if self.bi:
+                        xi_b, flow_b = self.flow_estimators[l](
+                            torch.cat([corr_b, x2, flow_b], 1))
+                    if self.occ:
+                        xo_f, occ_f = self.occ_estimators[l](
+                            torch.cat([corr_f, x1, occ_f], 1))
+                        if self.bi:
+                            # reference quirk: x1 for the backward occ arm
+                            xo_b, occ_b = self.occ_estimators[l](
+                                torch.cat([corr_b, x1, occ_b], 1))
+                if l == 4:
+                    flow_f = flow_f + self.context_networks(
+                        torch.cat([xi_f, flow_f], 1))
+                    if self.bi:
+                        flow_b = flow_b + self.context_networks(
+                            torch.cat([xi_b, flow_b], 1))
+                    if self.occ:
+                        occ_f = occ_f + self.context_networks_occ(
+                            torch.cat([xo_f, occ_f], 1))
+                        if self.bi:
+                            occ_b = occ_b + self.context_networks_occ(
+                                torch.cat([xo_b, occ_b], 1))
+
+            preds.append(
+                F.interpolate(flow_f, (H, W), mode="bilinear", align_corners=True)
+                * (1.0 / self.div_flow)
+            )
+            if l == 4:
+                break
+        maps = None
+        if self.occ:
+            maps = (
+                F.interpolate(occ_f, (H, W), mode="bilinear", align_corners=True),
+                F.interpolate(occ_b, (H, W), mode="bilinear", align_corners=True)
+                if self.bi else None,
+            )
+        return maps, preds
+
+
+# ---------------------------------------------------------------- DCEIFlow ----
+
+class OracleDCEIFlow(nn.Module):
+    """DCEIFlow (SDCEImodel/DCEIFlow.py:51-187 + with_event_updater.py)."""
+
+    def __init__(self, event_bins=10, image_channels=3):
+        super().__init__()
+        self.enet = OracleBasicEncoder(256, "instance", event_bins)
+        self.fnet = OracleBasicEncoder(256, "instance", image_channels)
+        self.cnet = OracleBasicEncoder(256, "batch", image_channels)
+
+        class Fusion(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(256, 192, 1)
+                self.conv2 = nn.Conv2d(256, 192, 1)
+                self.convo = nn.Conv2d(384, 256, 3, padding=1)
+
+            def forward(self, x1, x2):
+                out = torch.cat([F.relu(self.conv1(x1)), F.relu(self.conv2(x2))], 1)
+                return F.relu(self.convo(out)) + x1
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.convc1 = nn.Conv2d(324, 256, 1)
+                self.convc2 = nn.Conv2d(256, 192, 3, padding=1)
+                self.conve1 = nn.Conv2d(256, 128, 1)
+                self.conve2 = nn.Conv2d(128, 64, 3, padding=1)
+                self.convf1 = nn.Conv2d(2, 128, 7, padding=3)
+                self.convf2 = nn.Conv2d(128, 64, 3, padding=1)
+                self.conv = nn.Conv2d(320, 126, 3, padding=1)
+
+            def forward(self, flow, emap, corr):
+                cor = F.relu(self.convc2(F.relu(self.convc1(corr))))
+                ema = F.relu(self.conve2(F.relu(self.conve1(emap))))
+                flo = F.relu(self.convf2(F.relu(self.convf1(flow))))
+                out = F.relu(self.conv(torch.cat([cor, ema, flo], 1)))
+                return torch.cat([out, flow], 1)
+
+        class Upd(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = Enc()
+                base = OracleUpdateBlock(128)
+                self.gru = base.gru
+                self.flow_head = base.flow_head
+
+            def forward(self, net, inp, corr, emap, flow):
+                m = self.encoder(flow, emap, corr)
+                net = self.gru(net, torch.cat([inp, m], 1))
+                return net, None, self.flow_head(net)
+
+        self.fusion = Fusion()
+        self.update_block = Upd()
+
+    def forward(self, event_voxel, image1, iters=4):
+        image1 = 2 * (image1 / 255.0) - 1.0
+        event_voxel = 2 * event_voxel - 1.0
+        emap = self.enet(event_voxel)
+        fmap1 = self.fnet(image1)
+        pseudo_fmap2 = self.fusion(fmap1, emap)
+        corr_fn = OracleCorrBlock(fmap1, pseudo_fmap2)
+        cnet = self.cnet(image1)
+        net, inp = torch.split(cnet, [128, 128], 1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        N, _, Hp, Wp = image1.shape
+        ys, xs = torch.meshgrid(
+            torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij"
+        )
+        coords0 = torch.stack([xs, ys], 0).float()[None].repeat(N, 1, 1, 1)
+        coords1 = coords0.clone()
+        preds = []
+        for _ in range(iters):
+            coords1 = coords1.detach()
+            corr = corr_fn(coords1)
+            flow = coords1 - coords0
+            net, _, delta = self.update_block(net, inp, corr, emap, flow)
+            coords1 = coords1 + delta
+            f = coords1 - coords0
+            preds.append(
+                F.interpolate(f, scale_factor=8, mode="bilinear",
+                              align_corners=True) * 8
+            )
+        return preds
+
+
+# ------------------------------------------------------- STE / spike nets ----
+
+def _snn_conv(cin, cout, k=3, s=1, bias=True):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=bias), nn.LeakyReLU(0.1)
+    )
+
+
+def _snn_conv_s(cin, cout, k=3, s=2, bias=False):
+    return nn.Sequential(nn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=bias))
+
+
+def _snn_deconv(cin, cout, bias):
+    return nn.Sequential(
+        nn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=bias), nn.LeakyReLU(0.1)
+    )
+
+
+def _snn_predict(cin, bias):
+    return nn.Sequential(nn.Conv2d(cin, 2, 1, bias=bias))
+
+
+class OracleSpikeFlowNetS(nn.Module):
+    """spikemodel/FlowNetS_spike.py (batchNorm=False, the spike_flownets
+    constructor)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = _snn_conv_s(4, 64)
+        self.conv2 = _snn_conv_s(64, 128)
+        self.conv3 = _snn_conv_s(128, 256)
+        self.conv4 = _snn_conv_s(256, 512)
+        for name, cin in (("conv_r11", 512), ("conv_r12", 512),
+                          ("conv_r21", 512), ("conv_r22", 512)):
+            setattr(self, name, _snn_conv(cin, 512, bias=False))
+        self.deconv3 = _snn_deconv(512, 128, False)
+        self.deconv2 = _snn_deconv(386, 64, False)
+        self.deconv1 = _snn_deconv(194, 4, False)
+        for n in ("predict_flow4", "predict_flow3", "predict_flow2", "predict_flow1"):
+            setattr(self, n, _snn_predict(32, False))
+        self.upsampled_flow4_to_3 = nn.ConvTranspose2d(512, 32, 4, 2, 1, bias=False)
+        self.upsampled_flow3_to_2 = nn.ConvTranspose2d(386, 32, 4, 2, 1, bias=False)
+        self.upsampled_flow2_to_1 = nn.ConvTranspose2d(194, 32, 4, 2, 1, bias=False)
+        self.upsampled_flow1_to_0 = nn.ConvTranspose2d(70, 32, 4, 2, 1, bias=False)
+
+    @staticmethod
+    def _if(mem, th):
+        ex = F.threshold(mem, th, 0)
+        mem = mem - ex
+        return mem, (ex > 1e-5).float()
+
+    def forward(self, x, sp_threshold=0.75):
+        B, C, H, W, T = x.shape
+        mems = [torch.zeros(B, c, H // s, W // s)
+                for c, s in ((64, 2), (128, 4), (256, 8), (512, 16))]
+        tots = [torch.zeros_like(m) for m in mems]
+        convs = [self.conv1, self.conv2, self.conv3, self.conv4]
+        for t in range(T):
+            cur = x[..., t]
+            for lv in range(4):
+                cur = convs[lv](cur)
+                mems[lv] = mems[lv] + cur
+                tots[lv] = tots[lv] + cur
+                mems[lv], cur = self._if(mems[lv], sp_threshold)
+        oc1, oc2, oc3, oc4 = tots
+        r11 = self.conv_r11(oc4)
+        r12 = self.conv_r12(r11) + oc4
+        r21 = self.conv_r21(r12)
+        r22 = self.conv_r22(r21) + r12
+        flow4 = self.predict_flow4(self.upsampled_flow4_to_3(r22))
+        d3 = self.deconv3(r22)
+        concat3 = torch.cat([oc3, d3, flow4], 1)
+        flow3 = self.predict_flow3(self.upsampled_flow3_to_2(concat3))
+        d2 = self.deconv2(concat3)
+        concat2 = torch.cat([oc2, d2, flow3], 1)
+        flow2 = self.predict_flow2(self.upsampled_flow2_to_1(concat2))
+        d1 = self.deconv1(concat2)
+        concat1 = torch.cat([oc1, d1, flow2], 1)
+        flow1 = self.predict_flow1(self.upsampled_flow1_to_0(concat1))
+        return [flow1]
+
+
+class OracleSTEConvGRU(nn.Module):
+    def __init__(self, hidden, inp):
+        super().__init__()
+        self.convz = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        self.convr = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        self.convq = nn.Conv2d(hidden + inp, hidden, 3, padding=1)
+
+    def forward(self, h, x):
+        hx = torch.cat([h, x], 1)
+        z = torch.sigmoid(self.convz(hx))
+        r = torch.sigmoid(self.convr(hx))
+        q = torch.tanh(self.convq(torch.cat([r * h, x], 1)))
+        return (1 - z) * h + z * q
+
+
+class OracleSTEFlowNet(nn.Module):
+    """STEmodel/STEFlow.py FlowNetS_spike (batchNorm=False, the steflow
+    constructor), incl. the unused flow_deconvN heads and the double-leaky
+    correlation (corr.py:26 + forward leakyRELU)."""
+
+    def __init__(self, num_iterative=3):
+        super().__init__()
+        nd = 81
+        self.num_iterative = num_iterative
+        self.nd = nd
+        self.conv1 = _snn_conv(2, 64, s=2)
+        self.conv2 = _snn_conv(64 + nd, 128, s=2)
+        self.conv3 = _snn_conv(128 + nd, 256, s=2)
+        self.conv4 = _snn_conv(256 + nd, 512, s=2)
+        self.conv1_2 = _snn_conv(2, 64, s=2)
+        self.conv2_2 = _snn_conv(64, 128, s=2)
+        self.conv3_2 = _snn_conv(128, 256, s=2)
+        self.conv4_2 = _snn_conv(256, 512, s=2)
+        self.conv_r00 = _snn_conv(512 + nd, 512)
+        self.conv_r11 = _snn_conv(512, 512)
+        self.conv_r12 = _snn_conv(512, 512)
+        self.conv_r21 = _snn_conv(512, 512)
+        self.conv_r22 = _snn_conv(512, 512)
+        self.deconv3 = _snn_deconv(1024 + nd, 128, True)
+        self.deconv2 = _snn_deconv(386 + nd, 64, True)
+        self.deconv1 = _snn_deconv(194 + nd, 4, True)
+        for n in ("predict_flow4", "predict_flow3", "predict_flow2", "predict_flow1"):
+            setattr(self, n, _snn_predict(32, True))
+        self.gru_update1 = nn.Module()
+        self.gru_update1.gru = OracleSTEConvGRU(64 + nd, 64 + nd)
+        self.gru_update2 = nn.Module()
+        self.gru_update2.gru = OracleSTEConvGRU(128 + nd, 128 + nd)
+        self.gru_update3 = nn.Module()
+        self.gru_update3.gru = OracleSTEConvGRU(256 + nd, 256 + nd)
+        self.gru_update4 = nn.Module()
+        self.gru_update4.gru = OracleSTEConvGRU(512 + nd, 512 + nd)
+        self.upsampled_flow4_to_3 = nn.ConvTranspose2d(1024 + nd, 32, 4, 2, 1)
+        self.upsampled_flow3_to_2 = nn.ConvTranspose2d(386 + nd, 32, 4, 2, 1)
+        self.upsampled_flow2_to_1 = nn.ConvTranspose2d(194 + nd, 32, 4, 2, 1)
+        self.upsampled_flow1_to_0 = nn.ConvTranspose2d(70 + nd, 32, 4, 2, 1)
+        for n in range(5):
+            setattr(self, f"flow_deconv{n}", nn.ConvTranspose2d(2, 2, 4, 2, 1))
+
+    @staticmethod
+    def _warp_border(x, flow):
+        B, C, H, W = x.shape
+        xs = torch.arange(W).repeat(B, H, 1).float()
+        ys = torch.arange(H).repeat(B, W, 1).transpose(1, 2).float()
+        grid = torch.stack([xs, ys], 1) + flow
+        gn = torch.stack(
+            [2 * grid[:, 0] / (W - 1) - 1, 2 * grid[:, 1] / (H - 1) - 1], -1
+        )
+        return F.grid_sample(x, gn, padding_mode="border", align_corners=False)
+
+    @staticmethod
+    def _corr(f1, f2):
+        c = torch_local_correlation(f1, f2)  # /C, dy-major
+        return F.leaky_relu(c, 0.1)
+
+    def forward(self, x, image_resize):
+        B = x.shape[0]
+        nd = self.nd
+        R = image_resize
+        net1 = torch.zeros(B, 64 + nd, R // 2, R // 2)
+        net2 = torch.zeros(B, 128 + nd, R // 4, R // 4)
+        net3 = torch.zeros(B, 256 + nd, R // 8, R // 8)
+        net4 = torch.zeros(B, 512 + nd, R // 16, R // 16)
+        T = x.shape[4]
+        flow1_all = [torch.zeros(B, 2, R, R) for _ in range(T)]
+        flow2_all = [torch.zeros(B, 2, R // 2, R // 2) for _ in range(T)]
+        flow3_all = [torch.zeros(B, 2, R // 4, R // 4) for _ in range(T)]
+        flow4_all = [torch.zeros(B, 2, R // 8, R // 8) for _ in range(T)]
+        f1_0 = f2_0 = f3_0 = f4_0 = None
+        preds = []
+        for _ in range(self.num_iterative):
+            for t in range(T):
+                inp = x[:, 0:2, :, :, t]
+                c1 = self.conv1(inp)
+                if t == 0:
+                    f1_0 = c1
+                corr1 = F.leaky_relu(
+                    self._corr(f1_0, self._warp_border(c1, flow2_all[t])), 0.1)
+                net1 = self.gru_update1.gru(net1, torch.cat([c1, corr1], 1))
+
+                c2 = self.conv2(net1)
+                c2_1 = self.conv2_2(c1)
+                if t == 0:
+                    f2_0 = c2_1
+                corr2 = F.leaky_relu(
+                    self._corr(f2_0, self._warp_border(c2_1, flow3_all[t])), 0.1)
+                net2 = self.gru_update2.gru(net2, torch.cat([c2, corr2], 1))
+
+                c3 = self.conv3(net2)
+                c3_1 = self.conv3_2(c2_1)
+                if t == 0:
+                    f3_0 = c3_1
+                corr3 = F.leaky_relu(
+                    self._corr(f3_0, self._warp_border(c3_1, flow4_all[t])), 0.1)
+                net3 = self.gru_update3.gru(net3, torch.cat([c3, corr3], 1))
+
+                c4 = self.conv4(net3)
+                c4_1 = self.conv4_2(c3_1)
+                if t == 0:
+                    f4_0 = c4_1
+                corr4 = F.leaky_relu(self._corr(f4_0, c4_1), 0.1)
+                net4 = self.gru_update4.gru(net4, torch.cat([c4, corr4], 1))
+
+                o00 = self.conv_r00(net4)
+                o12 = self.conv_r12(self.conv_r11(o00)) + o00
+                o22 = self.conv_r22(self.conv_r21(o12)) + o12
+
+                concat4 = torch.cat([net4, o22], 1)
+                flow4 = self.predict_flow4(
+                    self.upsampled_flow4_to_3(concat4)) + flow4_all[t]
+                flow4_all[t] = flow4
+                d3 = self.deconv3(concat4)
+
+                concat3 = torch.cat([net3, d3, flow4], 1)
+                flow3 = self.predict_flow3(
+                    self.upsampled_flow3_to_2(concat3)) + flow3_all[t]
+                flow3_all[t] = flow3
+                d2 = self.deconv2(concat3)
+
+                concat2 = torch.cat([net2, d2, flow3], 1)
+                flow2 = self.predict_flow2(
+                    self.upsampled_flow2_to_1(concat2)) + flow2_all[t]
+                flow2_all[t] = flow2
+                d1 = self.deconv1(concat2)
+
+                concat1 = torch.cat([net1, d1, flow2], 1)
+                flow1 = self.predict_flow1(
+                    self.upsampled_flow1_to_0(concat1)) + flow1_all[t]
+                flow1_all[t] = flow1
+            preds.append(flow1)
+        return preds
