@@ -189,6 +189,63 @@ def digit_merge_alias(mod_path: str) -> Tuple[str, ...]:
 gmflow_alias = digit_merge_alias
 
 
+def flownet1s_alias(mod_path: str) -> Tuple[str, ...]:
+    """FlowNet1S family (reference model/IRRPWC/flownet1s*.py): strip the
+    leading-underscore attribute convention; decoder-arm modules
+    (_deconvN / _predict_flowN / _upsample_flowX_to_Y and their _occ
+    twins) nest under flow_decoder / occ_decoder; encoder convs fold the
+    Sequential '0' into the name (convN_0); _flownets → flownets."""
+    parts = [p.lstrip("_") for p in mod_path.split(".")]
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if p.startswith("conv") and nxt == "0":
+            # the stem convs live at the flax top level in BOTH layouts
+            # (plain flownet1s nests them inside _flownets, the irr
+            # variants keep them outside — flax unifies at the top)
+            if p in ("conv1", "conv2", "conv3") and out and out[-1] == "flownets":
+                out.pop()
+            out.append(f"{p}_0")
+            i += 2
+        elif p.startswith("deconv_occ"):
+            out.append("occ_decoder")
+            out.append(p)
+            i += 1
+        elif p.startswith("deconv"):
+            n = p[len("deconv"):]
+            out.append("flow_decoder")
+            out.append(f"deconv_flow{n}")
+            i += 1
+        elif p.startswith("predict_occ") or p.startswith("upsample_occ"):
+            out.append("occ_decoder")
+            out.append(p)
+            i += 1
+        elif p.startswith("predict_flow") or p.startswith("upsample_flow"):
+            out.append("flow_decoder")
+            out.append(p)
+            i += 1
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out)
+
+
+def flownet1s_tconv_paths(occ: bool) -> Tuple[str, ...]:
+    """Torch ConvTranspose module paths in a FlowNet1S checkpoint."""
+    paths = []
+    for tag, on in (("", True), ("_occ", occ)):
+        if not on:
+            continue
+        paths += [f"_flownets._deconv{tag}{n}.0" for n in (5, 4, 3, 2)]
+        paths += [
+            f"_flownets._upsample_{'flow' if not tag else 'occ'}{n}_to_{n - 1}"
+            for n in (6, 5, 4, 3)
+        ]
+    return tuple(paths)
+
+
 def ste_alias(mod_path: str) -> Tuple[str, ...]:
     """STE-FlowNet: drop the 'gru' level inside gru_updateN (the
     SmallUpdateBlock wrapper, reference STEmodel/STEFlow.py:43-56, is a
@@ -323,3 +380,60 @@ def filter_state_dict(
     unused deconvs, see models.eemflow_plus.EEMFLOW_PLUS_DROP)."""
     drop = tuple(drop_prefixes)
     return {k: v for k, v in state_dict.items() if not k.startswith(drop)}
+
+
+# -------------------------------------------------------------------------
+# Per-model converter registry: registry name → (alias, drop_prefixes,
+# transposed_conv_paths).  ``convert_for_model`` is the one-call surface
+# the CLIs use to ingest a reference .pth.tar for any zoo family.
+# -------------------------------------------------------------------------
+
+# the GMA-style attention registers relative-position tables that the
+# shipped content-only forward never reads (GMA/gma.py:52, SKflow/gma.py:52,
+# flowformer LatentCostFormer/gma.py:54)
+_POS_EMB_DROP = ("att.pos_emb.",)
+
+
+def _model_converters():
+    from eemflow_tpu.models.eemflow_plus import EEMFLOW_PLUS_DROP
+    from eemflow_tpu.models.flowformer import FLOWFORMER_DROP
+
+    table = {
+        "eemflow": (eemflow_alias, (), ()),
+        "eemflow_plus": (eemflow_plus_alias, EEMFLOW_PLUS_DROP, ()),
+        "eraft": (eraft_alias, (), ()),
+        "gma": (eraft_alias, _POS_EMB_DROP, ()),
+        "gmflow": (gmflow_alias, (), ()),
+        "gmflownet": (gmflownet_alias, (), ()),
+        "flowformer": (flowformer_alias, FLOWFORMER_DROP, ()),
+        "kpaflow": (digit_merge_alias, ("zero",), ()),
+        "skflow": (digit_merge_alias, _POS_EMB_DROP, ()),
+        "dceiflow": (eraft_alias, (), ()),
+        "steflow": (ste_alias, STE_DROP, SPIKE_TCONV_PATHS),
+        "spikeflownet": (None, (), SPIKE_TCONV_PATHS),
+        "spike_flownets": (None, (), SPIKE_TCONV_PATHS),
+    }
+    for name in ("irrpwc", "irrpwc_occ", "pwcnet", "pwcnet_bi", "pwcnet_occ",
+                 "pwcnet_occ_bi", "pwcnet_irr_bi", "pwcnet_irr_occ",
+                 "pwcnet_irr_occ_bi"):
+        table[name] = (irrpwc_alias, (), ())
+    for name in ("flownet1s", "flownet1s_irr", "flownet1s_irr_bi"):
+        table[name] = (flownet1s_alias, (), flownet1s_tconv_paths(occ=False))
+    for name in ("flownet1s_irr_occ", "flownet1s_irr_occ_bi", "irr_flownet"):
+        table[name] = (flownet1s_alias, (), flownet1s_tconv_paths(occ=True))
+    return table
+
+
+def convert_for_model(model_name: str, state_dict: Dict[str, np.ndarray]):
+    """Convert a reference torch state_dict (already ``module.``-stripped)
+    to flax variables using the model family's alias / drop / transposed
+    -conv configuration.  Unknown names fall back to the RAFT-lineage
+    ``eraft_alias`` (the reference's dominant module layout)."""
+    alias, drop, tconv = _model_converters().get(
+        model_name, (eraft_alias, (), ())
+    )
+    if drop:
+        state_dict = filter_state_dict(state_dict, drop)
+    return torch_state_dict_to_flax(
+        state_dict, alias=alias, transposed_conv_paths=tconv
+    )

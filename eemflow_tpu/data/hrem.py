@@ -28,7 +28,11 @@ from eemflow_tpu.data.augment import FlowAugmentor
 from eemflow_tpu.data.meshflow import motion_propagate
 from eemflow_tpu.events.io import read_compressed_events, read_flo
 from eemflow_tpu.events.sequence import EventSequence
-from eemflow_tpu.events.voxel import events_to_voxel_grid_np
+from eemflow_tpu.events.voxel import (
+    choose_bucket,
+    events_to_voxel_grid_np,
+    make_ladder,
+)
 from eemflow_tpu.ops.upsample import resize_bilinear
 
 HREM_SEQUENCES = ["indoor_fast", "indoor_slow", "outdoor_fast", "outdoor_slow"]
@@ -58,6 +62,7 @@ class HREMEventFlow:
         raw_events: bool = False,
         bucket_size: int = 1 << 18,
         full_res_flow: bool = False,
+        bucket_rungs: int = 1,
     ):
         self.root = root
         self.dt = dt
@@ -77,6 +82,13 @@ class HREMEventFlow:
         # voxelization (data.device_input) instead of host voxel grids
         self.raw_events = raw_events
         self.bucket_size = bucket_size
+        # bucket ladder (events.voxel.make_ladder): each sample pads to the
+        # smallest rung that fits; collate pads the batch to its max rung,
+        # so step shapes come from a small static set (bounded recompiles)
+        self.bucket_ladder = (
+            make_ladder(bucket_size, bucket_rungs) if bucket_rungs > 1
+            else (bucket_size,)
+        )
         if raw_events:
             from eemflow_tpu.data.device_input import EventOverflowCounter
 
@@ -132,7 +144,8 @@ class HREMEventFlow:
         from eemflow_tpu.native import decode_pack_npz
 
         with np.load(path) as npz:
-            padded, n, dropped = decode_pack_npz(npz, self.bucket_size)
+            bucket = choose_bucket(len(npz["t"]), self.bucket_ladder)
+            padded, n, dropped = decode_pack_npz(npz, bucket)
         self.overflow.update(n + dropped, dropped)
         return padded, np.int32(n)
 

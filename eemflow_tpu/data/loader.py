@@ -17,12 +17,28 @@ import numpy as np
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
-    """Stack a list of sample dicts into batched arrays (numeric keys only)."""
+    """Stack a list of sample dicts into batched arrays (numeric keys only).
+
+    Arrays whose shapes differ only in dim 0 (bucket-laddered event
+    buffers, ``events.voxel.make_ladder``) are zero-padded to the batch
+    max — the max is itself a ladder rung, so batch shapes stay in a small
+    static set and jit recompilation is bounded."""
     out = {}
     for k in samples[0]:
         v0 = samples[0][k]
         if isinstance(v0, np.ndarray):
-            out[k] = np.stack([s[k] for s in samples])
+            arrs = [s[k] for s in samples]
+            n0 = max(a.shape[0] for a in arrs)
+            if any(a.shape[0] != n0 for a in arrs):
+                assert all(a.shape[1:] == arrs[0].shape[1:] for a in arrs), (
+                    f"collate: key '{k}' varies beyond dim 0"
+                )
+                padded = np.zeros((len(arrs), n0) + arrs[0].shape[1:], v0.dtype)
+                for i, a in enumerate(arrs):
+                    padded[i, : a.shape[0]] = a
+                out[k] = padded
+                continue
+            out[k] = np.stack(arrs)
         elif isinstance(v0, (int, float, bool, np.integer, np.floating, np.bool_)):
             out[k] = np.asarray([s[k] for s in samples])
         else:

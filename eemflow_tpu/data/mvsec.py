@@ -26,7 +26,11 @@ import numpy as np
 from eemflow_tpu.data.augment import DenseSparseAugmentor, FlowAugmentor
 from eemflow_tpu.events.io import read_events_h5
 from eemflow_tpu.events.sequence import EventSequence
-from eemflow_tpu.events.voxel import events_to_voxel_grid_np
+from eemflow_tpu.events.voxel import (
+    choose_bucket,
+    events_to_voxel_grid_np,
+    make_ladder,
+)
 
 VALID_TIME_INDEX = {
     "indoor_flying1": [(314, 2199)],
@@ -65,6 +69,7 @@ class MvsecEventFlow:
         bucket_size: int = 1 << 17,
         with_dense: bool = False,
         time_stack: bool = False,
+        bucket_rungs: int = 1,
     ):
         # with_dense: also emit d_event_volume_old/new (the reference MVSEC
         # loader mirrors the volumes, MVSEC.py:129-130; the dense/sparse
@@ -85,6 +90,12 @@ class MvsecEventFlow:
         # branch needs host cv2 and stays on the host path.
         self.raw_events = raw_events
         self.bucket_size = bucket_size
+        # bucket ladder (events.voxel.make_ladder): per-sample pad to the
+        # smallest rung that fits; bounded step recompiles, less scatter
+        self.bucket_ladder = (
+            make_ladder(bucket_size, bucket_rungs) if bucket_rungs > 1
+            else (bucket_size,)
+        )
         if raw_events:
             from eemflow_tpu.data.device_input import EventOverflowCounter
 
@@ -179,7 +190,8 @@ class MvsecEventFlow:
                 # EventSequence already scaled/sorted → plain pad (the fused
                 # native decode covers the HREM npz path; MVSEC's pandas-h5
                 # read dominates here anyway)
-                padded, n, dropped = pad_events(seq.features, self.bucket_size)
+                bucket = choose_bucket(len(seq.features), self.bucket_ladder)
+                padded, n, dropped = pad_events(seq.features, bucket)
                 self.overflow.update(len(seq.features), dropped)
                 sample[f"events_{key}"] = padded
                 sample[f"n_{key}"] = np.int32(n)

@@ -46,6 +46,28 @@ def pad_events(
     return out, n, len(events) - n
 
 
+def make_ladder(bucket_size: int, n_rungs: int = 4) -> tuple:
+    """Geometric bucket ladder ``(bucket/2^(r-1), ..., bucket/2, bucket)``.
+
+    The scatter voxelizer's cost is bounded by the bucket size, and at the
+    worst-case bucket it is ~56% of the EEMFlow train step (docs/
+    PROFILE_r2.md) — while real HREM frames carry 3-8× fewer events than
+    the bucket (docs/PERF.md).  Padding each sample to the smallest rung
+    that fits trades a bounded number of extra step compiles (one per rung
+    shape) for proportionally less scatter work on every step."""
+    assert n_rungs >= 1
+    return tuple(max(1, bucket_size >> (n_rungs - 1 - i)) for i in range(n_rungs))
+
+
+def choose_bucket(n: int, ladder) -> int:
+    """Smallest ladder rung ≥ n; the largest rung if none fits (the caller
+    truncates to it and must count the overflow)."""
+    for b in ladder:
+        if n <= b:
+            return int(b)
+    return int(ladder[-1])
+
+
 @functools.partial(jax.jit, static_argnames=("num_bins", "height", "width", "normalize"))
 def events_to_voxel_grid(
     events: jax.Array,

@@ -49,6 +49,9 @@ class ERAFT(nn.Module):
     # False = eval-throughput mode: convex-upsample only the final iterate
     # (preds[-1] identical; ~20% faster forward — see raft_refine)
     upsample_all: bool = True
+    # True = bf16 all-pairs corr matmuls with fp32 accumulation (serving
+    # mode; parity mode keeps fp32/HIGHEST — see ops.corr_block)
+    corr_fast: bool = False
 
     @nn.compact
     def __call__(
@@ -72,7 +75,8 @@ class ERAFT(nn.Module):
         )
         fmap1 = fnet(im1)
         fmap2 = fnet(im2)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     fast=self.corr_fast)
 
         cnet = BasicEncoder(
             output_dim=self.hidden_dim + self.context_dim,

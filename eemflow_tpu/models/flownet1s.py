@@ -39,45 +39,25 @@ import jax
 import jax.numpy as jnp
 
 from eemflow_tpu.models.irrpwc import OccUpsampleNetwork, RefineFlow, RefineOcc
+from eemflow_tpu.models.layers import Deconv as TorchDeconv
 from eemflow_tpu.models.layers import conv2d, leaky_relu01
 from eemflow_tpu.ops.upsample import resize_bilinear
 from eemflow_tpu.ops.warp import grid_sample_pixel
 
 
-class _Deconv(nn.Module):
-    """torch ConvTranspose2d(k=4, s=2, p=1): exact 2× upsampling
-    (reference flownet_modules.py:22-32; deconvs are bias-free there).
-    torch crops p px from each side of the full (2i+2) transposed-conv
-    output; flax's padding arg scales by stride, so we take the VALID
-    output and crop explicitly."""
-
-    features: int
-    use_bias: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        y = nn.ConvTranspose(
-            self.features,
-            (4, 4),
-            strides=(2, 2),
-            padding="VALID",
-            use_bias=self.use_bias,
-            transpose_kernel=True,
-            name="0",
-        )(x)
-        return y[:, 1:-1, 1:-1, :]
-
-
 def _deconv(features: int, use_bias: bool = False, name: Optional[str] = None):
-    return _Deconv(features, use_bias, name=name)
+    return TorchDeconv(features, use_bias=use_bias, name=name)
 
 
 class DeconvRelu(nn.Module):
+    """deconv(nonlinear=True): Sequential(ConvTranspose, LeakyReLU) -> the
+    transposed conv is Sequential index '0'."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
-        return leaky_relu01(_deconv(self.features, name="0")(x))
+        return leaky_relu01(TorchDeconv(self.features, use_bias=False, name="0")(x))
 
 
 def flownet_warp(x, flow, height_im, width_im, div_flow):
@@ -93,14 +73,34 @@ def flownet_warp(x, flow, height_im, width_im, div_flow):
     return grid_sample_pixel(x, px, py, align_corners=True)
 
 
+def _adaptive_avg_pool(x, oh, ow):
+    """torch adaptive_avg_pool2d: output cell (i,j) averages input rows
+    [floor(i*H/oh), ceil((i+1)*H/oh)) x the analogous columns."""
+    B, H, W, C = x.shape
+    rows = jnp.stack(
+        [jnp.mean(x[:, (i * H) // oh : -((-(i + 1) * H) // oh)], axis=1)
+         for i in range(oh)], axis=1)
+    return jnp.stack(
+        [jnp.mean(rows[:, :, (j * W) // ow : -((-(j + 1) * W) // ow)], axis=2)
+         for j in range(ow)], axis=2)
+
+
 def _cat_as(tensors, ref):
-    """concatenate_as (reference flownet_modules.py:52-55): bilinearly
-    resize every tensor to ref's spatial dims, then concat on channels."""
+    """concatenate_as (reference flownet_modules.py:35-55): resize every
+    tensor to ref's spatial dims — adaptive average pooling when the target
+    is smaller (the reference picks the branch by LEXICOGRAPHIC list
+    comparison of [h, w]; replicated), bilinear align_corners=True
+    otherwise — then concat on channels."""
     h, w = ref.shape[1:3]
-    outs = [
-        t if t.shape[1:3] == (h, w) else resize_bilinear(t, (h, w), align_corners=True)
-        for t in tensors
-    ]
+    outs = []
+    for t in tensors:
+        th, tw = t.shape[1:3]
+        if (th, tw) == (h, w):
+            outs.append(t)
+        elif [h, w] < [th, tw]:  # lexicographic, as in resize2D
+            outs.append(_adaptive_avg_pool(t, h, w))
+        else:
+            outs.append(resize_bilinear(t, (h, w), align_corners=True))
     return jnp.concatenate(outs, axis=-1)
 
 

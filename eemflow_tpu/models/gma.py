@@ -104,6 +104,7 @@ class RAFTGMA(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 32
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    corr_fast: bool = False  # bf16 corr matmuls, fp32 accum (serving mode)
     cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
@@ -123,7 +124,8 @@ class RAFTGMA(nn.Module):
         fnet = BasicEncoder(256, "instance", self.n_first_channels, name="fnet")
         fmap1 = fnet(im1)
         fmap2 = fnet(im2)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     fast=self.corr_fast)
 
         cnet = BasicEncoder(
             self.hidden_dim + self.context_dim, self.cnet_norm,

@@ -26,6 +26,7 @@ class RAFT(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 8
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    corr_fast: bool = False  # bf16 corr matmuls, fp32 accum (serving mode)
     normalize_input: bool = True
 
     @nn.compact
@@ -41,7 +42,8 @@ class RAFT(nn.Module):
 
         fnet = BasicEncoder(256, "instance", self.n_first_channels, name="fnet")
         fmap1, fmap2 = fnet(im1), fnet(im2)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     fast=self.corr_fast)
 
         cnet = BasicEncoder(
             self.hidden_dim + self.context_dim, "batch", self.n_first_channels,

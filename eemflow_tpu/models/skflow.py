@@ -92,6 +92,7 @@ class SKFlow(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 8
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    corr_fast: bool = False  # bf16 corr matmuls, fp32 accum (serving mode)
     cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
@@ -103,7 +104,8 @@ class SKFlow(nn.Module):
 
         fnet = BasicEncoder(256, "instance", self.n_first_channels, name="fnet")
         fmap1, fmap2 = fnet(im1), fnet(im2)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     fast=self.corr_fast)
 
         cnet = BasicEncoder(256, self.cnet_norm, self.n_first_channels, name="cnet")(
             im1, train=train

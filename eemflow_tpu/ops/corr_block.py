@@ -27,31 +27,50 @@ from eemflow_tpu.ops.pooling import avg_pool2d
 
 
 def build_corr_pyramid(
-    fmap1: jax.Array, fmap2: jax.Array, num_levels: int = 4
+    fmap1: jax.Array, fmap2: jax.Array, num_levels: int = 4,
+    fast: bool = False,
 ) -> List[jax.Array]:
-    """fmap1, fmap2: [B, H, W, C] → list of [B*H*W, Hl, Wl, 1] volumes."""
+    """fmap1, fmap2: [B, H, W, C] → list of [B*H*W, Hl, Wl, 1] volumes.
+
+    FUSED pyramid pooling: the reference builds the full [N, H, W] volume
+    and average-pools it per level (``model/corr.py:52-60``) — rereading
+    the largest tensor in the model three times.  Correlation is linear in
+    f2, so pooling the *response maps* over (Y, X) equals correlating
+    against the pooled *feature map*: each level is its own all-pairs
+    matmul ``f1 · avg_pool^l(f2)ᵀ`` (Σ 1+¼+…  ≈ 1.33× the level-0 FLOPs,
+    all MXU) and the pooling pass over the N·H·W volume disappears.
+
+    ``fast=False`` (parity mode): fp32 operands, HIGHEST precision — the
+    default matmul precision downcasts fp32 (~1e-2 corr perturbation),
+    too coarse for 0.01-EPE checkpoint parity.
+    ``fast=True`` (serving mode): bf16 operands with fp32 MXU
+    accumulation — one MXU pass instead of HIGHEST's six.
+    """
     B, H, W, C = fmap1.shape
-    f1 = fmap1.reshape(B, H * W, C)
-    f2 = fmap2.reshape(B, H * W, C)
-    # HIGHEST precision: the default matmul precision downcasts fp32 inputs
-    # (bf16 passes on the MXU), which perturbs corr values by ~1e-2 — too
-    # coarse for 0.01-EPE checkpoint parity.
-    corr = jnp.einsum(
-        "bnc,bmc->bnm",
-        f1,
-        f2,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) / jnp.sqrt(jnp.asarray(C, jnp.float32))
-    corr = corr.reshape(B * H * W, H, W, 1)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        if corr.shape[1] >= 2 and corr.shape[2] >= 2:
-            corr = avg_pool2d(corr, 2, 2)
-        # else: feature map too coarse to pool further — repeat the last
-        # level so the lookup channel count stays fixed (the reference
-        # would produce a zero-sized map and crash here)
-        pyramid.append(corr)
+    dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    f1 = fmap1.reshape(B, H * W, C).astype(dtype)
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+
+    pyramid: List[jax.Array] = []
+    f2l = fmap2.astype(jnp.float32)
+    for _ in range(num_levels):
+        Hl, Wl = f2l.shape[1:3]
+        corr = jnp.einsum(
+            "bnc,bmc->bnm",
+            f1,
+            f2l.reshape(B, Hl * Wl, C).astype(dtype),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * inv_sqrt_c
+        pyramid.append(corr.reshape(B * H * W, Hl, Wl, 1))
+        if Hl >= 2 and Wl >= 2:
+            # fp32 pooling regardless of mode: repeated 2×2 means in bf16
+            # would compound rounding across levels
+            f2l = avg_pool2d(f2l, 2, 2)
+        # else: feature map too coarse to pool further — the next level
+        # repeats this one so the lookup channel count stays fixed (the
+        # reference would produce a zero-sized map and crash here)
     return pyramid
 
 

@@ -53,6 +53,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_constraint(mesh: Mesh, height: int):
+    """In-jit spatial resharding for dense [B, H, ...] arrays.
+
+    ``device_put`` refuses shardings whose axis size is not divisible by the
+    mesh axis, but ``with_sharding_constraint`` inside jit accepts uneven
+    partitions (GSPMD pads the final shard).  So for non-divisible H —
+    e.g. 720 rows over a spatial axis of 7, or odd crop heights — the
+    batch is fed data-sharded and this hook, composed AFTER the device
+    preprocess, pins the H axis to the 'spatial' mesh axis inside the
+    compiled step.  Arrays are matched by ``shape[1] == height`` so raw
+    event buffers [B, N, 4] stay batch-sharded."""
+    dense = NamedSharding(mesh, P("data", "spatial"))
+
+    def constrain(batch):
+        def put(x):
+            # eager calls (model-init shape inference) pass through: outside
+            # jit, with_sharding_constraint is a strict reshard and rejects
+            # the uneven split this helper exists for
+            if (
+                isinstance(x, jax.core.Tracer)
+                and getattr(x, "ndim", 0) >= 3
+                and x.shape[1] == height
+            ):
+                return jax.lax.with_sharding_constraint(x, dense)
+            return x
+
+        return jax.tree_util.tree_map(put, batch)
+
+    return constrain
+
+
 def shard_batch(batch, mesh: Mesh):
     """Put a pytree of [B, ...] arrays onto the mesh with batch-axis
     sharding.  Single-host: a plain sharded device_put.  Multi-host (the

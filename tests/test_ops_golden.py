@@ -284,3 +284,23 @@ def test_forward_interpolate_matches_torch():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_corr_pyramid_fast_mode_close():
+    """Serving-mode corr (bf16 operands, fp32 accumulation) tracks the
+    parity-mode pyramid to bf16 input precision (~1e-2 relative)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eemflow_tpu.ops.corr_block import build_corr_pyramid
+
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 64)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 16, 24, 64)), jnp.float32)
+    exact = build_corr_pyramid(f1, f2, 4, fast=False)
+    fast = build_corr_pyramid(f1, f2, 4, fast=True)
+    for e, f in zip(exact, fast):
+        assert f.dtype == jnp.float32  # fp32 accumulation
+        err = np.max(np.abs(np.asarray(e) - np.asarray(f)))
+        scale = np.max(np.abs(np.asarray(e)))
+        assert err / scale < 2e-2, err / scale

@@ -35,5 +35,35 @@ def test_local_correlation_pallas_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+
+def test_voxel_scatter_pallas_matches_xla():
+    """Pallas per-bin scatter kernel (interpret mode) is bit-exact vs the
+    XLA scatter voxelizer, incl. OOB coords, zero polarity, padded tails."""
+    from eemflow_tpu.events.voxel import events_to_voxel_grid, pad_events
+    from eemflow_tpu.ops.pallas.voxel_scatter import voxel_scatter_pallas
+
+    rng = np.random.default_rng(3)
+    H, W, bins = 24, 32, 5
+    evs, ns = [], []
+    for b in range(3):
+        n = 400 + 100 * b
+        ev = np.empty((n, 4), np.float32)
+        ev[:, 0] = np.sort(rng.uniform(0, 0.04, n))
+        ev[:, 1] = rng.integers(-1, W + 1, n)  # includes out-of-frame
+        ev[:, 2] = rng.integers(0, H, n)
+        ev[:, 3] = rng.choice([0.0, 1.0], n)
+        p_, k_, _ = pad_events(ev, 1024)
+        evs.append(p_)
+        ns.append(k_)
+    evs_j = jnp.asarray(np.stack(evs))
+    ns_j = jnp.asarray(np.asarray(ns, np.int32))
+
+    got = voxel_scatter_pallas(evs_j, ns_j, bins, H, W, interpret=True)
+    ref = jax.vmap(
+        lambda e, n: events_to_voxel_grid(e, n, bins, H, W, normalize=False)
+    )(evs_j, ns_j)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

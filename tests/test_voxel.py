@@ -110,3 +110,41 @@ def test_batched_device_voxelizer():
         jnp.asarray(np.stack(evs)), jnp.asarray(np.asarray(nvs)), 5, 24, 32
     )
     np.testing.assert_allclose(np.asarray(out), np.stack(refs), atol=2e-3)
+
+
+def test_bucket_ladder_semantics():
+    from eemflow_tpu.events.voxel import choose_bucket, make_ladder
+
+    ladder = make_ladder(1 << 17, 4)
+    assert ladder == (1 << 14, 1 << 15, 1 << 16, 1 << 17)
+    assert choose_bucket(0, ladder) == 1 << 14
+    assert choose_bucket(1 << 14, ladder) == 1 << 14
+    assert choose_bucket((1 << 14) + 1, ladder) == 1 << 15
+    assert choose_bucket(10**9, ladder) == 1 << 17  # caller truncates
+    assert make_ladder(4096, 1) == (4096,)
+
+
+def test_bucket_ladder_voxel_bit_parity():
+    """Padding to a smaller rung must give the SAME grid as the worst-case
+    bucket (padded rows carry zero scatter weight either way)."""
+    from eemflow_tpu.events.voxel import events_to_voxel_grid
+
+    ev = make_events(600, 24, 32)
+    small, n_s, _ = pad_events(ev, 1024)
+    large, n_l, _ = pad_events(ev, 8192)
+    g_small = events_to_voxel_grid(jnp.asarray(small), n_s, 5, 24, 32)
+    g_large = events_to_voxel_grid(jnp.asarray(large), n_l, 5, 24, 32)
+    np.testing.assert_array_equal(np.asarray(g_small), np.asarray(g_large))
+
+
+def test_collate_pads_mixed_buckets():
+    from eemflow_tpu.data.loader import collate
+
+    s1 = {"events_old": np.ones((1024, 4), np.float32), "n_old": np.int32(900)}
+    s2 = {"events_old": np.full((4096, 4), 2.0, np.float32), "n_old": np.int32(4000)}
+    out = collate([s1, s2])
+    assert out["events_old"].shape == (2, 4096, 4)
+    assert (out["events_old"][0, :1024] == 1).all()
+    assert (out["events_old"][0, 1024:] == 0).all()
+    assert (out["events_old"][1] == 2).all()
+    assert out["n_old"].tolist() == [900, 4000]

@@ -2542,3 +2542,228 @@ class OracleSTEFlowNet(nn.Module):
                 flow1_all[t] = flow1
             preds.append(flow1)
         return preds
+
+
+# --------------------------------------------------------------- FlowNet1S ----
+
+def _fn_conv(cin, cout, k, s):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, s, k // 2, bias=True), nn.LeakyReLU(0.1)
+    )
+
+
+def _fn_deconv(cin, cout, nonlinear=True):
+    t = nn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=False)
+    return nn.Sequential(t, nn.LeakyReLU(0.1)) if nonlinear else t
+
+
+def _fn_resize_as(x, ref):
+    h, w = ref.shape[-2:]
+    th, tw = x.shape[-2:]
+    if (th, tw) == (h, w):
+        return x
+    if [h, w] < [th, tw]:  # the reference's lexicographic branch choice
+        return F.adaptive_avg_pool2d(x, (h, w))
+    return F.interpolate(x, (h, w), mode="bilinear", align_corners=True)
+
+
+class OracleFlowNet1SPlain(nn.Module):
+    """flownet1s.py FlowNet1S (plain FlowNetS on concat input)."""
+
+    def __init__(self, cin=5, div_flow=0.05):
+        super().__init__()
+        self.div_flow = div_flow
+
+        class Core(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._conv1 = _fn_conv(2 * cin, 64, 7, 2)
+                self._conv2 = _fn_conv(64, 128, 5, 2)
+                self._conv3 = _fn_conv(128, 256, 5, 2)
+                self._conv3_1 = _fn_conv(256, 256, 3, 1)
+                self._conv4 = _fn_conv(256, 512, 3, 2)
+                self._conv4_1 = _fn_conv(512, 512, 3, 1)
+                self._conv5 = _fn_conv(512, 512, 3, 2)
+                self._conv5_1 = _fn_conv(512, 512, 3, 1)
+                self._conv6 = _fn_conv(512, 1024, 3, 2)
+                self._conv6_1 = _fn_conv(1024, 1024, 3, 1)
+                self._deconv5 = _fn_deconv(1024, 512)
+                self._deconv4 = _fn_deconv(1026, 256)
+                self._deconv3 = _fn_deconv(770, 128)
+                self._deconv2 = _fn_deconv(386, 64)
+                self._predict_flow6 = nn.Conv2d(1024, 2, 3, 1, 1)
+                self._predict_flow5 = nn.Conv2d(1026, 2, 3, 1, 1)
+                self._predict_flow4 = nn.Conv2d(770, 2, 3, 1, 1)
+                self._predict_flow3 = nn.Conv2d(386, 2, 3, 1, 1)
+                self._predict_flow2 = nn.Conv2d(194, 2, 3, 1, 1)
+                self._upsample_flow6_to_5 = _fn_deconv(2, 2, False)
+                self._upsample_flow5_to_4 = _fn_deconv(2, 2, False)
+                self._upsample_flow4_to_3 = _fn_deconv(2, 2, False)
+                self._upsample_flow3_to_2 = _fn_deconv(2, 2, False)
+
+            def forward(self, x):
+                c1 = self._conv1(x)
+                c2 = self._conv2(c1)
+                c31 = self._conv3_1(self._conv3(c2))
+                c41 = self._conv4_1(self._conv4(c31))
+                c51 = self._conv5_1(self._conv5(c41))
+                c61 = self._conv6_1(self._conv6(c51))
+                p6 = self._predict_flow6(c61)
+                up5 = self._upsample_flow6_to_5(p6)
+                d5 = self._deconv5(c61)
+                cc5 = torch.cat([_fn_resize_as(t, c51) for t in (c51, d5, up5)], 1)
+                p5 = self._predict_flow5(cc5)
+                up4 = self._upsample_flow5_to_4(p5)
+                d4 = self._deconv4(cc5)
+                cc4 = torch.cat([_fn_resize_as(t, c41) for t in (c41, d4, up4)], 1)
+                p4 = self._predict_flow4(cc4)
+                up3 = self._upsample_flow4_to_3(p4)
+                d3 = self._deconv3(cc4)
+                cc3 = torch.cat([_fn_resize_as(t, c31) for t in (c31, d3, up3)], 1)
+                p3 = self._predict_flow3(cc3)
+                up2 = self._upsample_flow3_to_2(p3)
+                d2 = self._deconv2(cc3)
+                cc2 = torch.cat([_fn_resize_as(t, c2) for t in (c2, d2, up2)], 1)
+                p2 = self._predict_flow2(cc2)
+                return p2, p3, p4, p5, p6
+
+        self._flownets = Core()
+
+    def forward(self, ev1, ev2):
+        H, W = ev1.shape[-2:]
+        flows = self._flownets(torch.cat([ev1, ev2], 1))
+        return [
+            F.interpolate(f, (H, W), mode="bilinear", align_corners=True)
+            * (1.0 / self.div_flow)
+            for f in flows[::-1]
+        ]
+
+
+class OracleFlowNet1SIrrOccBi(nn.Module):
+    """flownet1s_irr_occ_bi.py FlowNet1S: shared narrow stem per image,
+    iterative-residual shared decoder, occlusion arm, bi-directional."""
+
+    def __init__(self, cin=5, div_flow=0.05, num_iters=2):
+        super().__init__()
+        self.div_flow = div_flow
+        self.num_iters = num_iters
+        self._conv1 = _fn_conv(cin, 32, 7, 2)
+        self._conv2 = _fn_conv(32, 64, 5, 2)
+        self._conv3 = _fn_conv(64, 128, 5, 2)
+
+        class Core(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._conv3_1 = _fn_conv(256, 256, 3, 1)
+                self._conv4 = _fn_conv(256, 512, 3, 2)
+                self._conv4_1 = _fn_conv(512, 512, 3, 1)
+                self._conv5 = _fn_conv(512, 512, 3, 2)
+                self._conv5_1 = _fn_conv(512, 512, 3, 1)
+                self._conv6 = _fn_conv(512, 1024, 3, 2)
+                self._conv6_1 = _fn_conv(1024, 1024, 3, 1)
+                self._deconv5 = _fn_deconv(1024, 512)
+                self._deconv4 = _fn_deconv(1026, 256)
+                self._deconv3 = _fn_deconv(770, 128)
+                self._deconv2 = _fn_deconv(386, 64)
+                self._deconv_occ5 = _fn_deconv(1024, 512)
+                self._deconv_occ4 = _fn_deconv(1025, 256)
+                self._deconv_occ3 = _fn_deconv(769, 128)
+                self._deconv_occ2 = _fn_deconv(385, 64)
+                self._predict_flow6 = nn.Conv2d(1024, 2, 3, 1, 1)
+                self._predict_flow5 = nn.Conv2d(1026, 2, 3, 1, 1)
+                self._predict_flow4 = nn.Conv2d(770, 2, 3, 1, 1)
+                self._predict_flow3 = nn.Conv2d(386, 2, 3, 1, 1)
+                self._predict_flow2 = nn.Conv2d(130, 2, 3, 1, 1)
+                self._predict_occ6 = nn.Conv2d(1024, 1, 3, 1, 1)
+                self._predict_occ5 = nn.Conv2d(1025, 1, 3, 1, 1)
+                self._predict_occ4 = nn.Conv2d(769, 1, 3, 1, 1)
+                self._predict_occ3 = nn.Conv2d(385, 1, 3, 1, 1)
+                self._predict_occ2 = nn.Conv2d(129, 1, 3, 1, 1)
+                self._upsample_flow6_to_5 = _fn_deconv(2, 2, False)
+                self._upsample_flow5_to_4 = _fn_deconv(2, 2, False)
+                self._upsample_flow4_to_3 = _fn_deconv(2, 2, False)
+                self._upsample_flow3_to_2 = _fn_deconv(2, 2, False)
+                self._upsample_occ6_to_5 = _fn_deconv(1, 1, False)
+                self._upsample_occ5_to_4 = _fn_deconv(1, 1, False)
+                self._upsample_occ4_to_3 = _fn_deconv(1, 1, False)
+                self._upsample_occ3_to_2 = _fn_deconv(1, 1, False)
+
+            def _arm(self, c2, c31, c41, c51, c61, tag):
+                pre = getattr
+                outs = []
+                p6 = pre(self, f"_predict_{tag}6")(c61)
+                up5 = pre(self, f"_upsample_{tag}6_to_5")(p6)
+                d5 = pre(self, f"_deconv{'_occ' if tag == 'occ' else ''}5")(c61)
+                cc5 = torch.cat([_fn_resize_as(t, c51) for t in (c51, d5, up5)], 1)
+                p5 = pre(self, f"_predict_{tag}5")(cc5)
+                up4 = pre(self, f"_upsample_{tag}5_to_4")(p5)
+                d4 = pre(self, f"_deconv{'_occ' if tag == 'occ' else ''}4")(cc5)
+                cc4 = torch.cat([_fn_resize_as(t, c41) for t in (c41, d4, up4)], 1)
+                p4 = pre(self, f"_predict_{tag}4")(cc4)
+                up3 = pre(self, f"_upsample_{tag}4_to_3")(p4)
+                d3 = pre(self, f"_deconv{'_occ' if tag == 'occ' else ''}3")(cc4)
+                cc3 = torch.cat([_fn_resize_as(t, c31) for t in (c31, d3, up3)], 1)
+                p3 = pre(self, f"_predict_{tag}3")(cc3)
+                up2 = pre(self, f"_upsample_{tag}3_to_2")(p3)
+                d2 = pre(self, f"_deconv{'_occ' if tag == 'occ' else ''}2")(cc3)
+                cc2 = torch.cat([_fn_resize_as(t, c2) for t in (c2, d2, up2)], 1)
+                p2 = pre(self, f"_predict_{tag}2")(cc2)
+                return p2, p3, p4, p5, p6
+
+            def forward(self, c2, c3a, c3b):
+                c31 = self._conv3_1(torch.cat([c3a, c3b], 1))
+                c41 = self._conv4_1(self._conv4(c31))
+                c51 = self._conv5_1(self._conv5(c41))
+                c61 = self._conv6_1(self._conv6(c51))
+                flows = self._arm(c2, c31, c41, c51, c61, "flow")
+                occs = self._arm(c2, c31, c41, c51, c61, "occ")
+                return flows, occs
+
+        self._flownets = Core()
+
+    @staticmethod
+    def _warp(x, flow, height_im, width_im, div_flow):
+        B, C, H, W = x.shape
+        gw = torch.linspace(-1, 1, W).view(1, 1, 1, W).expand(B, 1, H, W)
+        gh = torch.linspace(-1, 1, H).view(1, 1, H, 1).expand(B, 1, H, W)
+        grid = torch.cat([gw, gh], 1)
+        fw = flow[:, 0] * 2 / width_im / div_flow
+        fh = flow[:, 1] * 2 / height_im / div_flow
+        g = (grid + torch.stack([fw, fh], 1)).permute(0, 2, 3, 1)
+        return F.grid_sample(x, g, align_corners=True)
+
+    def forward(self, ev1, ev2):
+        H, W = ev1.shape[-2:]
+        c2_1 = self._conv2(self._conv1(ev1))
+        c3_1 = self._conv3(c2_1)
+        c2_2 = self._conv2(self._conv1(ev2))
+        c3_2 = self._conv3(c2_2)
+        c3_2_wp, c3_1_wp = c3_2, c3_1
+        acc_f = acc_b = oacc_f = oacc_b = None
+        preds = []
+        for ii in range(self.num_iters):
+            flows_f, occs_f = self._flownets(c2_1, c3_1, c3_2_wp)
+            flows_b, occs_b = self._flownets(c2_2, c3_2, c3_1_wp)
+            acc_f = flows_f if acc_f is None else tuple(
+                a + f for a, f in zip(acc_f, flows_f))
+            acc_b = flows_b if acc_b is None else tuple(
+                a + f for a, f in zip(acc_b, flows_b))
+            oacc_f = occs_f if oacc_f is None else tuple(
+                a + o for a, o in zip(oacc_f, occs_f))
+            oacc_b = occs_b if oacc_b is None else tuple(
+                a + o for a, o in zip(oacc_b, occs_b))
+            preds.append(
+                F.interpolate(acc_f[0], (H, W), mode="bilinear",
+                              align_corners=True) * (1.0 / self.div_flow))
+            if ii < self.num_iters - 1:
+                uf = F.interpolate(acc_f[0], c3_2.shape[-2:], mode="bilinear",
+                                   align_corners=True)
+                ub = F.interpolate(acc_b[0], c3_1.shape[-2:], mode="bilinear",
+                                   align_corners=True)
+                c3_2_wp = self._warp(c3_2, uf, H, W, self.div_flow)
+                c3_1_wp = self._warp(c3_1, ub, H, W, self.div_flow)
+        occ_f = F.interpolate(oacc_f[0], (H, W), mode="bilinear",
+                              align_corners=True)
+        occ_b = F.interpolate(oacc_b[0], (H, W), mode="bilinear",
+                              align_corners=True)
+        return (occ_f, occ_b), preds

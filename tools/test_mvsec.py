@@ -40,31 +40,41 @@ def main() -> None:
     p.add_argument("--device_voxelize", action="store_true",
                    help="voxelize raw events on device (center-crop included)")
     p.add_argument("--bucket_size", type=int, default=1 << 17)
+    p.add_argument("--bucket_rungs", type=int, default=1,
+                   help="event bucket ladder rungs (eval default: fixed bucket)")
+    p.add_argument("--config", default=None,
+                   help="optional config JSON carrying model hyperparameters")
     args = p.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor an explicit cpu request through the config API (test harnesses,
+    # CPU-only CI)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from eemflow_tpu.data.mvsec import MvsecEventFlow, MvsecEventFlow_dt4
     from eemflow_tpu.eval.runner import ResearchTester as Tester
     from eemflow_tpu.models import get_eval_model
+    from eemflow_tpu.utils.config import load_config, model_kwargs_from_config
     from eemflow_tpu.utils.logger import Logger
 
-    model = get_eval_model(args.model)
+    cfg = load_config(args.config) if args.config else {}
+    model = get_eval_model(args.model, **model_kwargs_from_config(args.model, cfg))
 
     if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
         from eemflow_tpu.compat.torch_loader import (
-            eemflow_alias,
-            eraft_alias,
+            convert_for_model,
             load_torch_checkpoint,
-            torch_state_dict_to_flax,
         )
 
-        alias = {"eemflow": eemflow_alias}.get(args.model, eraft_alias)
+        # per-family alias / drop-list / transposed-conv registry
         sd = load_torch_checkpoint(args.checkpoint)
         sd = {k: v for k, v in sd.items() if k != "index"}
-        variables = torch_state_dict_to_flax(sd, alias=alias)
+        variables = convert_for_model(args.model, sd)
     else:
         import orbax.checkpoint as ocp
 
@@ -81,6 +91,7 @@ def main() -> None:
         args.data_root, sequence=args.sequence, train=False,
         eval_type=args.eval_type,
         raw_events=args.device_voxelize, bucket_size=args.bucket_size,
+        bucket_rungs=args.bucket_rungs,
         with_dense=family.name in ("dense_sparse", "dense_ctx", "mimounet"),
         time_stack=family.name == "single_volume",
     )

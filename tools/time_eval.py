@@ -37,6 +37,12 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor an explicit cpu request through the config API (test harnesses,
+    # CPU-only CI)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

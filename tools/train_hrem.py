@@ -45,6 +45,8 @@ def main() -> None:
         help="voxelize raw events on device inside the jitted step "
         "(the TPU-native input path; host only pads event buffers)",
     )
+    p.add_argument("--bucket_rungs", type=int, default=4,
+                   help="event bucket ladder rungs (1 = fixed worst-case bucket)")
     p.add_argument("--bucket_size", type=int, default=1 << 18,
                    help="event bucket size for --device_voxelize")
     p.add_argument("--bf16", action="store_true",
@@ -55,6 +57,12 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor an explicit cpu request through the config API (test harnesses,
+    # CPU-only CI)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from eemflow_tpu.data.hrem import HREMEventFlow
@@ -84,7 +92,9 @@ def main() -> None:
 
     # meshflow training: EEMFlow predicts at mesh resolution (16x16) to match
     # the HREM meshflow GT (the reference's out_mesh_size branch)
-    model_kwargs = {}
+    from eemflow_tpu.utils.config import model_kwargs_from_config
+
+    model_kwargs = model_kwargs_from_config(args.model, cfg)
     if args.model == "eemflow" and not args.full_res_flow:
         model_kwargs["out_mesh_size"] = True
     model = get_model(args.model, **model_kwargs)
@@ -108,6 +118,7 @@ def main() -> None:
         rng=np.random.default_rng(args.seed),
         raw_events=args.device_voxelize,
         bucket_size=args.bucket_size,
+        bucket_rungs=args.bucket_rungs,
         full_res_flow=args.full_res_flow,
     )
     logger.write_line(f"dataset: {len(dataset)} samples", True)

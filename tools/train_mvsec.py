@@ -36,10 +36,18 @@ def main() -> None:
     p.add_argument("--device_voxelize", action="store_true",
                    help="device-side voxelization (train aug = flips only)")
     p.add_argument("--bucket_size", type=int, default=1 << 17)
+    p.add_argument("--bucket_rungs", type=int, default=4,
+                   help="event bucket ladder rungs (1 = fixed worst-case bucket)")
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor an explicit cpu request through the config API (test harnesses,
+    # CPU-only CI)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from eemflow_tpu.data.loader import batch_iterator, prefetch
     from eemflow_tpu.parallel.mesh import init_distributed
@@ -74,6 +82,7 @@ def main() -> None:
         rng=np.random.default_rng(args.seed),
         raw_events=args.device_voxelize,
         bucket_size=args.bucket_size,
+        bucket_rungs=args.bucket_rungs,
         # family-driven batch contract (see train.adapters)
         with_dense=family.name in ("dense_sparse", "dense_ctx", "mimounet"),
         time_stack=family.name == "single_volume",
@@ -87,7 +96,9 @@ def main() -> None:
     snapshot_config({**cfg, "cli": vars(args)}, save_path)
     logger.write_line(f"dataset: {len(dataset)} samples", True)
 
-    model = get_model(args.model)
+    from eemflow_tpu.utils.config import model_kwargs_from_config
+
+    model = get_model(args.model, **model_kwargs_from_config(args.model, cfg))
     tx = make_optimizer(lr=args.lr, wdecay=args.wd, num_steps=args.train_iters)
 
     preprocess = None
