@@ -256,6 +256,58 @@ def _serving_sustained(extra, rng):
     extra["serving_bottleneck"] = (
         "device" if t_dev_batch >= t_host_frame * B else "host"
     )
+
+    # ---- aggregated serving: 16 frames per program (throughput regime —
+    # processing an event-stream backlog in chunks; per-program dispatch/
+    # layout overhead amortizes across the batch) ----
+    try:
+        B16 = 16
+        ev16 = jnp.asarray(
+            np.stack([ev[i % 4] for i in range(B16)])
+        )
+        ns16 = jnp.asarray(np.stack([ns[i % 4] for i in range(B16)]))
+        evs16 = jnp.stack([ev16, jnp.roll(ev16, 1, axis=0)])
+        nss16 = jnp.stack([ns16, jnp.roll(ns16, 1, axis=0)])
+
+        def make16(k):
+            def f(v, estack, nstack):
+                def body(acc, i):
+                    # dynamic_index on i: an i-independent body would be
+                    # hoisted out of the scan (and `i * 0` gets folded)
+                    b = {
+                        "events_old": jax.lax.dynamic_index_in_dim(
+                            estack, i % 2, keepdims=False),
+                        "events_new": jax.lax.dynamic_index_in_dim(
+                            estack, (i + 1) % 2, keepdims=False),
+                        "n_old": jax.lax.dynamic_index_in_dim(
+                            nstack, i % 2, keepdims=False),
+                        "n_new": jax.lax.dynamic_index_in_dim(
+                            nstack, (i + 1) % 2, keepdims=False),
+                    }
+                    b = pre(b)
+                    _, flows = model.apply(v, b["event_volume_old"],
+                                           b["event_volume_new"])
+                    return acc + flows[-1].mean().astype(jnp.float32), None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                      jnp.arange(k))
+                return acc
+
+            return jax.jit(f)
+
+        t1 = _fetch_time(make16(2), (var_init, evs16, nss16), reps=5)
+        t2 = _fetch_time(make16(8), (var_init, evs16, nss16), reps=5)
+        t_dev16 = (t2 - t1) / 6
+        extra["serving_device_ms_per_b16_batch"] = round(t_dev16 * 1e3, 3)
+        fps16 = B16 / max(t_dev16, t_host_frame * B16)
+        extra["serving_fps_aggregated_b16"] = round(fps16, 2)
+        extra["serving_b16_bottleneck"] = (
+            "device" if t_dev16 >= t_host_frame * B16 else
+            "host (single-core VM; production TPU hosts parallelize the "
+            "decode across prefetch workers)"
+        )
+    except Exception as e:
+        extra["serving_b16_error"] = repr(e)[:120]
     return fps
 
 
@@ -329,6 +381,13 @@ def main() -> None:
         eapply = lambda v, a, b: em.apply(v, a, b)[1][-1]
         dte = _fwd_throughput(eapply, ev_var, ebufs, 1, 9)
         extra["eraft_fwd_fps_512x960_b1"] = round(1.0 / dte, 2)
+
+        # serving mode: bf16-stored corr volumes + bf16 tap lookup (fp32
+        # accumulation) — same weights, ≤3e-2 corr perturbation
+        emf = ERAFT(upsample_all=False, corr_fast=True)
+        efapply = lambda v, a, b: emf.apply(v, a, b)[1][-1]
+        dtef = _fwd_throughput(efapply, ev_var, ebufs, 1, 9)
+        extra["eraft_fwd_fast_fps_512x960_b1"] = round(1.0 / dtef, 2)
     except Exception as e:  # keep the headline alive on partial failure
         extra["eraft_error"] = repr(e)[:120]
 

@@ -103,14 +103,35 @@ class Tester:
         """Async-dispatch the forward for one sample (no result fetch)."""
         return self._fwd(self.variables, self._make_batch(sample))
 
+    def _dispatch_many(self, samples):
+        """Async-dispatch ONE batched forward over several samples.
+
+        Protocol-identical to per-sample dispatch: eval-mode normalization
+        uses running statistics (never cross-batch stats) and every other
+        op is per-sample, so stacking only changes throughput — the TPU's
+        fused-program regime is ~25× the serialized-dispatch rate at
+        EEMFlow's shapes (docs/PERF.md).  Metrics stay per-sample."""
+        from eemflow_tpu.data.loader import collate
+
+        batch = collate(samples)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in _INPUT_KEYS and v is not None
+        }
+        return self._fwd(self.variables, batch)
+
     def test_sequence(
-        self, dataset, stride: int = 1, max_samples: Optional[int] = None
+        self, dataset, stride: int = 1, max_samples: Optional[int] = None,
+        batch_size: int = 1,
     ) -> Dict[str, float]:
         """Evaluate the dataset's current sequence; returns aggregates.
 
-        Depth-1 pipelined: sample i+1's forward is dispatched before sample
-        i's flow is fetched, so host work (dataset IO + numpy metrics)
-        overlaps device compute — protocol-identical results."""
+        Depth-1 pipelined: batch i+1's forward is dispatched before batch
+        i's flows are fetched, so host work (dataset IO + numpy metrics)
+        overlaps device compute — protocol-identical results.
+        ``batch_size > 1`` stacks samples into one fused forward (the
+        batched-eval throughput path; results identical per sample)."""
         AEE_sum = 0.0
         pct1_sum = 0.0
         pct3_sum = 0.0
@@ -121,30 +142,34 @@ class Tester:
         if max_samples is not None:
             indices = indices[:max_samples]
 
-        def consume(sample, fut):
+        def consume(samples, fut):
             nonlocal AEE_sum, pct1_sum, pct3_sum, iters
-            flow_est = np.asarray(fut)[0]
-            ev_img = np.asarray(sample.get("event_valid"))
-            ev_img = np.squeeze(ev_img) if ev_img is not None else None
-            aee, p1, p3, n, _, _, _ = flow_error(
-                np.asarray(sample["flow"]),
-                flow_est,
-                event_img=ev_img,
-                is_car=self.is_car,
-                evaluation_type=getattr(dataset, "evaluation_type", "dense"),
-            )
-            AEE_sum += aee
-            pct1_sum += p1
-            pct3_sum += p3
-            iters += 1
-            rows.append([iters, aee])
+            flows = np.asarray(fut)
+            for j, sample in enumerate(samples):
+                ev_img = np.asarray(sample.get("event_valid"))
+                ev_img = np.squeeze(ev_img) if ev_img is not None else None
+                aee, p1, p3, n, _, _, _ = flow_error(
+                    np.asarray(sample["flow"]),
+                    flows[j],
+                    event_img=ev_img,
+                    is_car=self.is_car,
+                    evaluation_type=getattr(dataset, "evaluation_type", "dense"),
+                )
+                AEE_sum += aee
+                pct1_sum += p1
+                pct3_sum += p3
+                iters += 1
+                rows.append([iters, aee])
 
-        for idx in indices:
-            sample = dataset[idx]
-            fut = self._dispatch(sample)
+        for c0 in range(0, len(indices), batch_size):
+            samples = [dataset[i] for i in indices[c0 : c0 + batch_size]]
+            fut = (
+                self._dispatch(samples[0]) if len(samples) == 1
+                else self._dispatch_many(samples)
+            )
             if pending is not None:
                 consume(*pending)
-            pending = (sample, fut)
+            pending = (samples, fut)
         if pending is not None:
             consume(*pending)
         if self.save_csv and self.save_path is not None:
@@ -193,13 +218,16 @@ class Tester:
         sequence_list: Sequence[str],
         stride: int = 1,
         max_samples: Optional[int] = None,
+        batch_size: int = 1,
     ) -> Dict[str, Dict[str, float]]:
         """Per-sequence eval + mean of per-sequence AEE (the HREM protocol)."""
         results: Dict[str, Dict[str, float]] = {}
         for seq in sequence_list:
             dataset.change_test_sequence(seq)
             t0 = time.time()
-            res = self.test_sequence(dataset, stride=stride, max_samples=max_samples)
+            res = self.test_sequence(dataset, stride=stride,
+                                     max_samples=max_samples,
+                                     batch_size=batch_size)
             self._log(
                 f"[{seq}] AEE {res['AEE']:.6f}  1px-out {res['pct1_outlier']:.6f}  "
                 f"3px-out {res['pct3_outlier']:.6f}  ({res['n_samples']} samples, "

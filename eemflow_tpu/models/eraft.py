@@ -52,6 +52,12 @@ class ERAFT(nn.Module):
     # True = bf16 all-pairs corr matmuls with fp32 accumulation (serving
     # mode; parity mode keeps fp32/HIGHEST — see ops.corr_block)
     corr_fast: bool = False
+    # one batched lookup einsum pair over all pyramid levels per iteration
+    # (1-ulp-equivalent; see ops.corr_block.lookup_corr_stack).  Measured
+    # NEGATIVE @512×960: 12.8 vs 17.0 fps — the level-0-extent padding
+    # triples the contraction's data volume and the lookup is bandwidth-
+    # bound (docs/PERF.md).  Kept as the recorded experiment; leave False.
+    stacked_lookup: bool = False
 
     @nn.compact
     def __call__(
@@ -97,6 +103,7 @@ class ERAFT(nn.Module):
         flows = raft_refine(
             update_block, pyramid, net, inp, coords0, coords1, n_iters,
             self.corr_radius, upsample_all=self.upsample_all,
+            stacked_lookup=self.stacked_lookup,
         )
         # flows: [iters, B, Hp, Wp, 2] → unpad all iterations at once
         flows = padder.unpad(flows)
@@ -104,7 +111,7 @@ class ERAFT(nn.Module):
 
 
 def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
-                radius, upsample_all: bool = True):
+                radius, upsample_all: bool = True, stacked_lookup: bool = False):
     """The shared RAFT refinement loop as one ``nn.scan`` — corr lookup,
     update block, convex upsample per iteration, weights broadcast.  Returns
     stacked upsampled predictions [iters, B, 8h, 8w, 2].
@@ -116,12 +123,38 @@ def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
     consumer sees identical flow).  Training needs every prediction for the
     γ-weighted sequence loss, hence the default."""
 
+    if stacked_lookup:
+        # one batched einsum pair over all levels per iteration instead of
+        # one pair per level (per-level cost is fixed overhead, docs/
+        # PERF.md); the zero-padded level stack is built ONCE here, outside
+        # the scan, and broadcast into every iteration
+        from eemflow_tpu.ops.corr_block import lookup_corr_stack
+
+        H0, W0 = pyramid[0].shape[1:3]
+        shapes = [c.shape[1:3] for c in pyramid]
+        stack = jnp.stack(
+            [
+                jnp.pad(
+                    c[..., 0],
+                    ((0, 0), (0, H0 - c.shape[1]), (0, W0 - c.shape[2])),
+                )
+                for c in pyramid
+            ],
+            axis=1,
+        )
+
+        def lookup(coords):
+            return lookup_corr_stack(stack, shapes, coords, radius)
+    else:
+        def lookup(coords):
+            return lookup_corr_pyramid(pyramid, coords, radius)
+
     def body(mdl, carry, _):
         net, coords1, _ = carry
         coords1 = jax.lax.stop_gradient(coords1)
         # corr values are looked up in fp32 (parity-sensitive); the GRU runs
         # at the carry dtype so bf16 mixed precision stays bf16 in-loop
-        corr = lookup_corr_pyramid(pyramid, coords1, radius).astype(net.dtype)
+        corr = lookup(coords1).astype(net.dtype)
         flow = (coords1 - coords0).astype(net.dtype)
         net, up_mask, delta_flow = mdl(net, inp, corr, flow)
         coords1 = coords1 + delta_flow.astype(coords1.dtype)

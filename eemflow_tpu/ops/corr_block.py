@@ -44,7 +44,10 @@ def build_corr_pyramid(
     default matmul precision downcasts fp32 (~1e-2 corr perturbation),
     too coarse for 0.01-EPE checkpoint parity.
     ``fast=True`` (serving mode): bf16 operands with fp32 MXU
-    accumulation — one MXU pass instead of HIGHEST's six.
+    accumulation — one MXU pass instead of HIGHEST's six — and the
+    volumes are STORED bf16, which halves the lookup's HBM traffic (the
+    RAFT loop's dominant bandwidth; ``lookup_corr_pyramid`` switches to
+    its bf16 path on the volume dtype).
     """
     B, H, W, C = fmap1.shape
     dtype = jnp.bfloat16 if fast else jnp.float32
@@ -63,7 +66,8 @@ def build_corr_pyramid(
             preferred_element_type=jnp.float32,
             precision=prec,
         ) * inv_sqrt_c
-        pyramid.append(corr.reshape(B * H * W, Hl, Wl, 1))
+        # fast: scale in fp32 (fused into the matmul epilogue), store bf16
+        pyramid.append(corr.astype(dtype).reshape(B * H * W, Hl, Wl, 1))
         if Hl >= 2 and Wl >= 2:
             # fp32 pooling regardless of mode: repeated 2×2 means in bf16
             # would compound rounding across levels
@@ -90,6 +94,87 @@ def _tap_matrix(pos: jax.Array, offs: jax.Array, size: int) -> jax.Array:
     return a0 + a1
 
 
+def lookup_corr_pyramid_stacked(
+    pyramid: List[jax.Array], coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Same result as :func:`lookup_corr_pyramid`, computed as ONE batched
+    einsum pair over all levels instead of one pair per level.
+
+    Round-2 profiling found per-level lookup cost FLAT across 16× level
+    sizes (docs/PERF.md) — fixed per-einsum overhead inside the scan, not
+    bandwidth — so the levels are zero-padded to the level-0 extent and
+    stacked ([N, L, H0, W0]); the padded cells meet zero tap weights, so
+    the contraction is exact (extra fp32 zero addends).  The pad/stack
+    runs once per CALL, so callers should hoist it if the pyramid is
+    reused — see the precomputed-stack variant in ``models.eraft``.
+    """
+    H0, W0 = pyramid[0].shape[1:3]
+    stack = jnp.stack(
+        [
+            jnp.pad(
+                c[..., 0],
+                ((0, 0), (0, H0 - c.shape[1]), (0, W0 - c.shape[2])),
+            )
+            for c in pyramid
+        ],
+        axis=1,
+    )  # [N, L, H0, W0]
+    return lookup_corr_stack(
+        stack, [c.shape[1:3] for c in pyramid], coords, radius
+    )
+
+
+def lookup_corr_stack(
+    stack: jax.Array, level_shapes, coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Windowed lookup over a zero-padded level stack [N, L, H0, W0].
+
+    ``level_shapes``: the true (Hl, Wl) per level (static).  Tap matrices
+    are built per level at its true extent, zero-padded to (H0, W0) —
+    padded corr cells only ever meet zero weights, so the batched
+    contraction equals the per-level form exactly.
+    """
+    B, H, W, _ = coords.shape
+    r = radius
+    n = 2 * r + 1
+    L = stack.shape[1]
+    H0, W0 = stack.shape[2:4]
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    N = B * H * W
+    cx = coords[..., 0].reshape(N).astype(jnp.float32)
+    cy = coords[..., 1].reshape(N).astype(jnp.float32)
+
+    axs, ays = [], []
+    for lvl, (Hl, Wl) in enumerate(level_shapes):
+        inv_scale = jnp.float32(0.5**lvl)
+        if Wl == 1:
+            ax = _tap_matrix(jnp.zeros_like(cx), jnp.zeros_like(offs), Wl)
+        else:
+            ax = _tap_matrix(cx * inv_scale, offs, Wl)
+        if Hl == 1:
+            ay = _tap_matrix(jnp.zeros_like(cy), jnp.zeros_like(offs), Hl)
+        else:
+            ay = _tap_matrix(cy * inv_scale, offs, Hl)
+        axs.append(jnp.pad(ax, ((0, 0), (0, 0), (0, W0 - Wl))))
+        ays.append(jnp.pad(ay, ((0, 0), (0, 0), (0, H0 - Hl))))
+    ax = jnp.stack(axs, axis=1)  # [N, L, n, W0]
+    ay = jnp.stack(ays, axis=1)  # [N, L, n, H0]
+
+    c = stack.astype(jnp.float32)
+    tmp = jnp.einsum(
+        "qlyx,qlix->qlyi", c, ax,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, L, H0, n]
+    win = jnp.einsum(
+        "qlyi,qljy->qlij", tmp, ay,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, L, n(x-major), n(y)]
+    return win.reshape(B, H, W, L * n * n)
+
+
 def lookup_corr_pyramid(
     pyramid: List[jax.Array], coords: jax.Array, radius: int = 4
 ) -> jax.Array:
@@ -103,11 +188,22 @@ def lookup_corr_pyramid(
     (``A_y · corr · A_xᵀ``) on the MXU instead of per-point gathers.
     Measured on the v5e at ERAFT's 512×960 point: ~130 ms/lookup (gather)
     → matmul form is the RAFT hot-loop fix (BASELINE north-star).
+
+    Dtype-adaptive: a bf16 pyramid (``build_corr_pyramid(fast=True)``,
+    serving mode) is contracted with bf16 tap matrices at DEFAULT
+    precision (fp32 accumulation) — the lookup is bandwidth-bound at
+    level-0 shapes (docs/PERF.md), so halving the volume bytes halves its
+    cost.  An fp32 pyramid keeps the HIGHEST-precision parity path.
+    Output is float32 either way.
     """
     B, H, W, _ = coords.shape
     r = radius
     n = 2 * r + 1
     offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    fast = pyramid[0].dtype == jnp.bfloat16
+    tap_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
 
     N = B * H * W
     cx = coords[..., 0].reshape(N).astype(jnp.float32)
@@ -128,17 +224,20 @@ def lookup_corr_pyramid(
             ay = _tap_matrix(jnp.zeros_like(cy), jnp.zeros_like(offs), Hl)
         else:
             ay = _tap_matrix(cy * inv_scale, offs, Hl)  # [N, n, Hl]
-        c = corr[..., 0].astype(jnp.float32)  # [N, Hl, Wl]
-        # contract x taps then y taps; fp32 accumulation for parity
+        c = corr[..., 0]  # [N, Hl, Wl] (bf16 stays bf16 in fast mode)
+        if not fast:
+            c = c.astype(jnp.float32)
+        # contract x taps then y taps; fp32 accumulation either way
         tmp = jnp.einsum(
-            "qyx,qix->qyi", c, ax,
+            "qyx,qix->qyi", c, ax.astype(tap_dtype),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [N, Hl, n]
         win = jnp.einsum(
-            "qyi,qjy->qij", tmp, ay,
+            "qyi,qjy->qij", tmp.astype(tap_dtype) if fast else tmp,
+            ay.astype(tap_dtype),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [N, n(x-major), n(y)]
         out_levels.append(win.reshape(B, H, W, n * n))
     return jnp.concatenate(out_levels, axis=-1)

@@ -19,10 +19,14 @@ contiguous event ranges (left votes: ``tis == b``; right votes:
     dynamic-index read-modify-writes,
   * writes the plane to the output block.
 
-The per-event VMEM RMW is the measured quantity: if Mosaic's scalar
-dynamic stores beat XLA's HBM scatter rate the kernel wins; the verdict
-is recorded in docs/PERF.md either way.  Exactness: identical vote
-values/ordering per bin as the XLA path up to addition order (fp32).
+VERDICT (measured, round 3 — docs/PERF.md): **15.3× slower** than the
+XLA two-scatter (167 vs 10.9 ns/update @720×1280, 2¹⁷ events).  Mosaic
+has neither scalar VMEM stores nor unaligned scalar loads, so the
+per-event RMW costs Θ(W/lane) vector ALU work; XLA's scatter-add runs at
+the hardware's serialized HBM RMW rate.  The kernel is kept as the
+recorded measurement; production stays on ``events.voxel``'s XLA path
+with the bucket ladder.  Exactness: identical vote values/ordering per
+bin as the XLA path up to addition order (fp32).
 """
 
 from __future__ import annotations
@@ -48,15 +52,44 @@ def _kernel(ranges_ref, flat_ref, val_l_ref, val_r_ref, out_ref, *, width: int):
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    # Mosaic has neither scalar VMEM stores nor unaligned scalar loads —
+    # random per-event scatter is not directly expressible.  The closest
+    # expressible form, measured here: 128-aligned chunk loads, one-hot
+    # reductions to extract each event's (index, value) scalars, and a
+    # dynamic-row read-modify-write with a one-hot column mask — Θ(W/lane)
+    # vector work per event.  See module docstring for the verdict.
+    CH = 128
+    n_total = flat_ref.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, out_ref.shape[-1]), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+
     def accumulate(start, end, val_ref):
-        def body(i, _):
-            f = flat_ref[0, i]
-            y = f // width
-            x = f - y * width
-            out_ref[0, 0, y, x] += val_ref[0, i]
+        c0 = start // CH
+
+        def chunk_body(c, _):
+            base = c * CH
+            fvec = flat_ref[0, 0, pl.ds(base, CH)].reshape(1, CH)
+            vvec = val_ref[0, 0, pl.ds(base, CH)].reshape(1, CH)
+            # events outside [start, end) contribute zero votes
+            live = (lane + base >= start) & (lane + base < end)
+            vvec = jnp.where(live, vvec, 0.0)
+
+            def ev_body(j, _):
+                pick = (lane == j)
+                f = jnp.sum(jnp.where(pick, fvec, 0))
+                v = jnp.sum(jnp.where(pick, vvec, 0.0))
+                y = f // width
+                x = f - y * width
+                row = out_ref[0, 0, pl.ds(y, 1), :]
+                out_ref[0, 0, pl.ds(y, 1), :] = row + jnp.where(
+                    cols == x, v, 0.0
+                )
+                return 0
+
+            jax.lax.fori_loop(0, CH, ev_body, 0)
             return 0
 
-        jax.lax.fori_loop(start, end, body, 0)
+        jax.lax.fori_loop(c0, (end + CH - 1) // CH, chunk_body, 0)
 
     accumulate(ranges_ref[b, k, 0], ranges_ref[b, k, 1], val_l_ref)
     accumulate(ranges_ref[b, k, 2], ranges_ref[b, k, 3], val_r_ref)
@@ -120,13 +153,18 @@ def voxel_scatter_pallas(
     )
     ranges = jnp.stack([left_start, left_end, right_start, right_end], axis=-1)
 
+    # [B, 1, N] so the block's last two dims (1, N) equal the array dims
+    # (Mosaic requires tile-aligned or full-extent trailing block dims)
+    flat = flat[:, None, :]
+    val_l = val_l[:, None, :]
+    val_r = val_r[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_bins),
         in_specs=[
-            pl.BlockSpec((1, N), lambda b, k, r: (b, 0)),
-            pl.BlockSpec((1, N), lambda b, k, r: (b, 0)),
-            pl.BlockSpec((1, N), lambda b, k, r: (b, 0)),
+            pl.BlockSpec((1, 1, N), lambda b, k, r: (b, 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda b, k, r: (b, 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda b, k, r: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, height, width), lambda b, k, r: (b, k, 0, 0)

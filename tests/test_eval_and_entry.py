@@ -90,6 +90,52 @@ def test_tester_on_stub_dataset():
     assert res["a"]["n_samples"] == 3 and res["b"]["n_samples"] == 2
 
 
+
+def test_batched_eval_matches_per_sample():
+    """batch_size>1 eval (one fused forward per chunk) must produce the
+    SAME per-sample metrics as the serialized per-sample protocol."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    class TinyModel(nn.Module):
+        @nn.compact
+        def __call__(self, e1, e2, train=False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(jnp.concatenate([e1, e2], -1))
+            flow = nn.Conv(2, (3, 3), padding="SAME")(nn.relu(x))
+            return (e1, e2), [flow]
+
+    class DS:
+        evaluation_type = "dense"
+        rng = np.random.default_rng(0)
+        data = None
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(100 + i)
+            return {
+                "event_volume_old": rng.standard_normal((16, 16, 5)).astype(np.float32),
+                "event_volume_new": rng.standard_normal((16, 16, 5)).astype(np.float32),
+                "flow": rng.standard_normal((16, 16, 2)).astype(np.float32),
+                "event_valid": np.ones((16, 16, 1), np.float32),
+            }
+
+    from eemflow_tpu.eval.runner import Tester
+
+    model = TinyModel()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 5)), jnp.zeros((1, 16, 16, 5))
+    )
+    t = Tester(model, variables)
+    ref = t.test_sequence(DS())
+    got = t.test_sequence(DS(), batch_size=2)  # 2+2+1: exercises the tail
+    np.testing.assert_allclose(got["AEE"], ref["AEE"], rtol=1e-6)
+    np.testing.assert_allclose(got["pct1_outlier"], ref["pct1_outlier"], rtol=1e-6)
+    assert got["n_samples"] == ref["n_samples"] == 5
+
+
 def test_dryrun_multichip_8():
     import sys
 

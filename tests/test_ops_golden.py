@@ -300,7 +300,60 @@ def test_corr_pyramid_fast_mode_close():
     exact = build_corr_pyramid(f1, f2, 4, fast=False)
     fast = build_corr_pyramid(f1, f2, 4, fast=True)
     for e, f in zip(exact, fast):
-        assert f.dtype == jnp.float32  # fp32 accumulation
-        err = np.max(np.abs(np.asarray(e) - np.asarray(f)))
+        # fp32 MXU accumulation, volumes STORED bf16 (halves lookup HBM)
+        assert f.dtype == jnp.bfloat16
+        err = np.max(np.abs(np.asarray(e) - np.asarray(f, np.float32)))
         scale = np.max(np.abs(np.asarray(e)))
         assert err / scale < 2e-2, err / scale
+
+    # the dtype-adaptive lookup on the bf16 pyramid tracks the parity path
+    from eemflow_tpu.ops.corr_block import lookup_corr_pyramid
+
+    coords = jnp.asarray(rng.uniform(0, 12, (2, 16, 24, 2)), jnp.float32)
+    ref = np.asarray(lookup_corr_pyramid(exact, coords, radius=4))
+    got = np.asarray(lookup_corr_pyramid(fast, coords, radius=4))
+    assert got.dtype == np.float32
+    err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-6)
+    assert err < 3e-2, err
+
+
+def test_lookup_corr_stacked_matches_per_level():
+    """The single-einsum-pair stacked lookup (all levels zero-padded to the
+    level-0 extent) must reproduce the per-level lookup: padded corr cells
+    only meet zero tap weights, so the contraction is exact up to addition
+    order (extra fp32 zero addends)."""
+    from eemflow_tpu.ops.corr_block import (
+        build_corr_pyramid,
+        lookup_corr_pyramid,
+        lookup_corr_pyramid_stacked,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 16, 24, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, 12, (B, H, W, 2)), jnp.float32)
+    pyr = build_corr_pyramid(f1, f2, num_levels=4)
+    ref = np.asarray(lookup_corr_pyramid(pyr, coords, radius=4))
+    got = np.asarray(lookup_corr_pyramid_stacked(pyr, coords, radius=4))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_eraft_stacked_lookup_close():
+    """ERAFT with stacked_lookup=True produces the same flow (tolerance:
+    summation-association noise through 12 GRU iterations)."""
+    import jax
+
+    from eemflow_tpu.models.eraft import ERAFT
+
+    rng = np.random.default_rng(3)
+    v1 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    base = ERAFT(iters=4)
+    variables = base.init(jax.random.PRNGKey(0), v1, v2)
+    _, flows_ref = base.apply(variables, v1, v2)
+    _, flows_stk = ERAFT(iters=4, stacked_lookup=True).apply(variables, v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(flows_stk[-1]), np.asarray(flows_ref[-1]), atol=5e-4
+    )

@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--device_voxelize", action="store_true",
                    help="voxelize raw events on device inside the jitted forward")
     p.add_argument("--bucket_size", type=int, default=1 << 18)
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="samples per fused eval forward (protocol-identical "
+                   "per-sample metrics; >1 = the batched throughput path)")
     p.add_argument("--bucket_rungs", type=int, default=1,
                    help="event bucket ladder rungs (eval default: fixed bucket)")
     p.add_argument("--config", default=None,
@@ -109,7 +112,8 @@ def main() -> None:
     if args.mode == "standard":
         tester.test_multi_sequence(dataset, seqs or HREM_SEQUENCES,
                                    stride=args.stride,
-                                   max_samples=args.max_samples)
+                                   max_samples=args.max_samples,
+                                   batch_size=args.eval_batch)
     else:
         # research modes run on the first available sequence
         dataset.change_test_sequence((seqs or HREM_SEQUENCES)[0])

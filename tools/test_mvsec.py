@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--device_voxelize", action="store_true",
                    help="voxelize raw events on device (center-crop included)")
     p.add_argument("--bucket_size", type=int, default=1 << 17)
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="samples per fused eval forward (protocol-identical "
+                   "per-sample metrics; >1 = the batched throughput path)")
     p.add_argument("--bucket_rungs", type=int, default=1,
                    help="event bucket ladder rungs (eval default: fixed bucket)")
     p.add_argument("--config", default=None,
@@ -117,7 +120,8 @@ def main() -> None:
     )
     if args.mode == "standard":
         res = tester.test_sequence(dataset, stride=args.stride,
-                                   max_samples=args.max_samples)
+                                   max_samples=args.max_samples,
+                                   batch_size=args.eval_batch)
         logger.write_line(
             f"[{args.sequence}/{args.eval_type}] AEE {res['AEE']:.6f} "
             f"1px-out {res['pct1_outlier']:.6f} 3px-out {res['pct3_outlier']:.6f} "
