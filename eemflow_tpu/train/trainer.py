@@ -203,6 +203,13 @@ class Trainer:
                     f"  loss:{loss_avg:2.6f}  AEE:{epe_avg:2.6f}"
                     f"  steps/s:{iters / dt:.2f}"
                 )
+                if self.logger is not None:
+                    self.logger.write_jsonl({
+                        "kind": "train", "epoch": start_epoch + 1,
+                        "step": iters + start_epoch * val_iters,
+                        "loss": loss_avg, "aee": epe_avg,
+                        "steps_per_sec": iters / dt,
+                    })
             if self.viz_hook is not None and iters % self.viz_every == 0:
                 self.viz_hook(state, batch, iters + start_epoch * val_iters)
             if iters >= val_iters:
@@ -212,6 +219,13 @@ class Trainer:
             f"epoch {start_epoch + 1}: mean loss {float(total_loss) / n:2.6f} "
             f"mean AEE {float(total_epe) / n:2.6f}"
         )
+        if self.logger is not None:
+            self.logger.write_jsonl({
+                "kind": "epoch", "epoch": start_epoch + 1,
+                "mean_loss": float(total_loss) / n,
+                "mean_aee": float(total_epe) / n,
+                "n_steps": iters, "wall_s": time.time() - t0,
+            })
         if self.checkpoint_dir is not None:
             from eemflow_tpu.train.checkpoint import save_checkpoint
 

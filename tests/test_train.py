@@ -106,5 +106,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
 
 
+def test_trainer_writes_metrics_jsonl(tmp_path):
+    """The Trainer emits machine-readable metrics.jsonl records (one per
+    log boundary + one per epoch) alongside the reference-style log.txt."""
+    import json
+
+    from eemflow_tpu.models.eemflow import EEMFlow
+    from eemflow_tpu.train.trainer import Trainer, create_train_state
+    from eemflow_tpu.utils.logger import Logger
+
+    model = EEMFlow()
+    tx = make_optimizer(lr=1e-3, num_steps=100)
+    B, H, W = 1, 64, 64
+    batch = {
+        "event_volume_old": jnp.asarray(RNG.standard_normal((B, H, W, 5)), jnp.float32),
+        "event_volume_new": jnp.asarray(RNG.standard_normal((B, H, W, 5)), jnp.float32),
+        "flow": jnp.ones((B, H, W, 2), jnp.float32),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    logger = Logger(str(tmp_path))
+    trainer = Trainer(model, tx, logger=logger, log_every=2)
+    trainer.train_iters(state, iter([batch] * 4), start_epoch=0, val_iters=4)
+
+    with open(logger.jsonl_path) as f:
+        recs = [json.loads(line) for line in f]
+    kinds = [r["kind"] for r in recs]
+    assert kinds.count("train") == 2 and kinds.count("epoch") == 1, kinds
+    step_rec = next(r for r in recs if r["kind"] == "train")
+    assert {"epoch", "step", "loss", "aee", "steps_per_sec"} <= set(step_rec)
+    assert isinstance(step_rec["loss"], float)
+    ep = next(r for r in recs if r["kind"] == "epoch")
+    assert ep["n_steps"] == 4 and ep["mean_loss"] > 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
