@@ -357,3 +357,23 @@ def test_eraft_stacked_lookup_close():
     np.testing.assert_allclose(
         np.asarray(flows_stk[-1]), np.asarray(flows_ref[-1]), atol=5e-4
     )
+
+
+def test_eraft_corr_fast_close():
+    """Serving mode (bf16-stored corr volumes + bf16 tap lookup) tracks the
+    parity forward: ≤1 px max / ≤0.2 px mean flow delta through 6 GRU
+    iterations on random init whose flow scale is ~56 px (<1% relative).
+    docs/PERF.md round 3: this mode is 26.6 vs 17.0 fps @512×960."""
+    import jax
+
+    from eemflow_tpu.models.eraft import ERAFT
+
+    rng = np.random.default_rng(3)
+    v1 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    base = ERAFT(iters=6)
+    variables = base.init(jax.random.PRNGKey(0), v1, v2)
+    _, flows_ref = base.apply(variables, v1, v2)
+    _, flows_fast = ERAFT(iters=6, corr_fast=True).apply(variables, v1, v2)
+    d = np.abs(np.asarray(flows_fast[-1]) - np.asarray(flows_ref[-1]))
+    assert d.max() < 1.0 and d.mean() < 0.2, (d.max(), d.mean())
