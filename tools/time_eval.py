@@ -34,6 +34,11 @@ def main() -> None:
                    "for heavy models)")
     p.add_argument("--bf16", action="store_true",
                    help="cast params+inputs to bfloat16")
+    p.add_argument("--corr_fast", action="store_true",
+                   help="RAFT-lineage serving mode: bf16-stored corr "
+                   "volumes + bf16 tap lookup, fp32 accumulation "
+                   "(~1.5x on ERAFT; <=1e-2 rel corr perturbation — "
+                   "do not use for checkpoint-parity evaluation)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +57,9 @@ def main() -> None:
 
     h, w = args.size
     k1, k2 = args.k if args.k else (4, 24)
-    model = get_eval_model(args.model)
+    model = get_eval_model(
+        args.model, **({"corr_fast": True} if args.corr_fast else {})
+    )
     rng = np.random.default_rng(0)
     bufs = tuple(
         jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)),
