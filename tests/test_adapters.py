@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 from eemflow_tpu.train.adapters import FAMILIES, MODEL_FAMILY, get_family
 from eemflow_tpu.train.optim import make_optimizer
+
+# every family test jit-compiles a full train step — zoo tier
+pytestmark = pytest.mark.zoo
 from eemflow_tpu.train.trainer import (
     cast_floating,
     create_train_state,

@@ -11,6 +11,10 @@ import jax.numpy as jnp
 from eemflow_tpu.compat import torch_state_dict_to_flax
 from torch_oracles import OracleUNet
 
+# every test here compiles a full model on the 1-core CPU backend —
+# the multi-minute tier the `zoo` marker exists for
+pytestmark = pytest.mark.zoo
+
 RNG = np.random.default_rng(0)
 
 
