@@ -29,6 +29,10 @@ def main() -> None:
     p.add_argument("--bins", type=int, default=5)
     p.add_argument("--logdir", default="runs/profile")
     p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--eval", action="store_true",
+                   help="build via get_eval_model (final-only upsample)")
+    p.add_argument("--corr_fast", action="store_true",
+                   help="RAFT-lineage serving mode (implies --eval)")
     args = p.parse_args()
 
     import jax
@@ -41,9 +45,15 @@ def main() -> None:
     import jax.numpy as jnp
 
     from eemflow_tpu.models import get_model
+    from eemflow_tpu.models.registry import get_eval_model
 
     h, w = args.size
-    model = get_model(args.model)
+    if args.eval or args.corr_fast:
+        model = get_eval_model(
+            args.model, **({"corr_fast": True} if args.corr_fast else {})
+        )
+    else:
+        model = get_model(args.model)
     rng = np.random.default_rng(0)
     ev1 = jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)), jnp.float32)
     ev2 = jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)), jnp.float32)
