@@ -91,6 +91,17 @@ def test_golden_acceptance_eemflow_cli(tmp_path):
         f"device-voxelize AEE {aee_dev} != host-path AEE {aee}"
     )
 
+    # ... and so must the batched-eval throughput path stacked on top of it
+    # (collate pads raw-event buffers to the batch max rung; metrics stay
+    # per-sample — the full combined production eval path)
+    aee_dev_b2 = run_cli(
+        root, CKPT, str(tmp_path / "out_dev_b2"),
+        extra_args=("--device_voxelize", "--eval_batch", "2"),
+    )
+    assert abs(aee_dev_b2 - aee) < 1e-5, (
+        f"batched device-voxelize AEE {aee_dev_b2} != host-path AEE {aee}"
+    )
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
