@@ -403,6 +403,19 @@ def main() -> None:
     except Exception as e:  # keep the headline alive on partial failure
         extra["eraft_error"] = repr(e)[:120]
 
+    # ---- EEMFlow+ fwd @720x1280 b=2 (the paper's second headline model:
+    # coarse-to-fine SGU/CFP refinement, model/EEMFlow/EEMFlow+.py) ----
+    try:
+        from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+        pm = EEMFlowPlus()
+        p_var = pm.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
+        papply = lambda v, a, b: pm.apply(v, a, b)[1][-1]
+        dtp = _fwd_throughput(papply, p_var, bufs, 2, 10)
+        extra["eemflow_plus_fwd_fps"] = round(batch / dtp, 2)
+    except Exception as e:
+        extra["eemflow_plus_error"] = repr(e)[:120]
+
     # ---- end-to-end train step @512x960 b=6 with device voxelization ----
     try:
         from eemflow_tpu.data.device_input import make_device_preprocess
