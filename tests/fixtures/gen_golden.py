@@ -45,5 +45,31 @@ def main():
     print(f"golden AEE = {aee}")
 
 
+def main_eraft():
+    """ERAFT golden: saved the upstream E-RAFT way ({"model": {"module.*"}}
+    — exercises the loader's nested-'model' unwrap), pinned on ONE sample
+    of the same deterministic fixture (a 12-iteration scan forward at
+    1280x720 is minutes on the CPU backend; one sample keeps the zoo-tier
+    test bounded)."""
+    from torch_oracles import OracleERAFT
+
+    from test_golden_acceptance import make_hrem_fixture, run_cli
+
+    torch.manual_seed(4321)
+    oracle = OracleERAFT().eval()
+    sd = {"module." + k: v for k, v in oracle.state_dict().items()}
+    ckpt = os.path.join(HERE, "eraft_hrem_golden.pth.tar")
+    torch.save({"model": sd}, ckpt)
+
+    root = make_hrem_fixture("/tmp/golden_gen")
+    aee = run_cli(root, ckpt, "/tmp/golden_gen/out_eraft",
+                  extra_args=("--max_samples", "1"), model="eraft")
+    with open(os.path.join(HERE, "hrem_golden_eraft.json"), "w") as f:
+        json.dump({"model": "eraft", "aee": aee, "torch_seed": 4321,
+                   "fixture_seed": 99, "max_samples": 1}, f, indent=2)
+    print(f"eraft golden AEE = {aee}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    (main_eraft if "--eraft" in _sys.argv else main)()

@@ -48,13 +48,13 @@ def make_hrem_fixture(base, seed=99, n_events=30000):
     return root
 
 
-def run_cli(root, ckpt, out_dir, extra_args=()):
+def run_cli(root, ckpt, out_dir, extra_args=(), model="eemflow"):
     """Drive tools/test_hrem.py in a fresh process (CPU backend) and return
     the mean AEE parsed from the per-sample CSV."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "test_hrem.py"),
-        "-model", "eemflow", "-int", "dt1",
+        "-model", model, "-int", "dt1",
         "--data_root", root, "--checkpoint", ckpt,
         "--save_dir", out_dir, "--save_csv", *extra_args,
     ]
@@ -100,6 +100,28 @@ def test_golden_acceptance_eemflow_cli(tmp_path):
     )
     assert abs(aee_dev_b2 - aee) < 1e-5, (
         f"batched device-voxelize AEE {aee_dev_b2} != host-path AEE {aee}"
+    )
+
+
+ERAFT_CKPT = os.path.join(HERE, "fixtures", "eraft_hrem_golden.pth.tar")
+ERAFT_GOLDEN = os.path.join(HERE, "fixtures", "hrem_golden_eraft.json")
+
+
+@pytest.mark.zoo
+def test_golden_acceptance_eraft_cli(tmp_path):
+    """The scan-family (RAFT-lineage) golden: upstream E-RAFT checkpoint
+    convention ({"model": {"module.*": ...}}) -> converter -> 12-iteration
+    lax.scan forward at protocol resolution -> pinned AEE.  One sample
+    (the full-res CPU forward is minutes; the path, not breadth, is what
+    this pins)."""
+    with open(ERAFT_GOLDEN) as f:
+        golden = json.load(f)
+    root = make_hrem_fixture(str(tmp_path), seed=golden["fixture_seed"])
+    aee = run_cli(root, ERAFT_CKPT, str(tmp_path / "out"),
+                  extra_args=("--max_samples", str(golden["max_samples"])),
+                  model="eraft")
+    assert abs(aee - golden["aee"]) < 0.01, (
+        f"eraft golden AEE drifted: got {aee}, committed {golden['aee']}"
     )
 
 
