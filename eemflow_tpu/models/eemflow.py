@@ -171,7 +171,15 @@ class Pyramid(nn.Module):
 
 class EEMFlow(nn.Module):
     """Flagship model.  __call__(ev1, ev2 [B,H,W,bins]) →
-    ((ev1, ev2), [flow [B,H,W,2]]) matching the reference contract."""
+    ((ev1, ev2), [flow [B,H,W,2]]) matching the reference contract.
+
+    ``fast_head``: serving mode — runs the entire coarse stage (3×local
+    correlation, 3×rconv, 3×7-conv decoder, 1×1 fuse) as ONE fused Pallas
+    kernel (``ops/pallas/coarse_head.py``).  Same params, same math in
+    f32 (parity to fp noise, model-level tolerance test); eval-only —
+    training and init take the standard path.  ``fast_head_impl="xla"``
+    selects the pure-jnp twin of the fused math (measurement control).
+    """
 
     groups: int = 5
     n_first_channels: int = 5
@@ -183,8 +191,19 @@ class EEMFlow(nn.Module):
     # but measured SLOWER end-to-end (975→631 fps @720p — XLA layout
     # interactions eat the win); kept as an opt-in documented experiment
     s2d_stem: bool = False
+    fast_head: bool = False
+    fast_head_impl: str = "pallas"
 
-    @nn.compact
+    def setup(self):
+        self.pyramid = Pyramid(s2d_stem=self.s2d_stem)
+        self.rconv_1 = ConvRelu(16)
+        self.rconv_2 = ConvRelu(16)
+        self.rconv_3 = ConvRelu(16)
+        self.decoder_1 = Decoder(self.groups)
+        self.decoder_2 = Decoder(self.groups)
+        self.decoder_3 = Decoder(self.groups)
+        self.out_conv = conv2d(2, kernel_size=1, padding=0)
+
     def __call__(self, events1, events2, train: bool = False):
         B, H, W, _ = events1.shape
         out_size = (16, 16) if (train and self.out_mesh_size) else (H, W)
@@ -192,9 +211,8 @@ class EEMFlow(nn.Module):
         padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
         ev1, ev2 = padder.pad(events1, events2)
 
-        pyramid = Pyramid(s2d_stem=self.s2d_stem, name="pyramid")
-        f11, f12, f13 = pyramid(ev1)
-        f21, f22, f23 = pyramid(ev2)
+        f11, f12, f13 = self.pyramid(ev1)
+        f21, f22, f23 = self.pyramid(ev2)
 
         # pool each level to the coarse correlation grid (32/16/8)
         f14_1, f24_1 = avg_pool2d(f11, 32), avg_pool2d(f21, 32)
@@ -204,26 +222,34 @@ class EEMFlow(nn.Module):
         idx = tuple(self.corr_indices)
         md = self.max_displacement
 
+        if self.fast_head and not train and not self.is_initializing():
+            from eemflow_tpu.ops.pallas.coarse_head import coarse_head
+
+            out = coarse_head(
+                (f14_1, f14_2, f14_3),
+                (f24_1, f24_2, f24_3),
+                self.variables["params"],
+                groups=self.groups,
+                indices=idx,
+                max_displacement=md,
+                impl=self.fast_head_impl,
+            )
+            return (events1, events2), [upsample_flow_to(out, out_size)]
+
         cv_1 = local_correlation(f14_1, f24_1, md, indices=idx)
-        r_1 = ConvRelu(16, name="rconv_1")(f14_1)
-        flow_1 = Decoder(self.groups, name="decoder_1")(
-            jnp.concatenate([cv_1, r_1], axis=-1)
-        )
+        r_1 = self.rconv_1(f14_1)
+        flow_1 = self.decoder_1(jnp.concatenate([cv_1, r_1], axis=-1))
 
         cv_2 = local_correlation(f14_2, f24_2, md, indices=idx)
-        r_2 = ConvRelu(16, name="rconv_2")(f14_2)
-        flow_2 = Decoder(self.groups, name="decoder_2")(
-            jnp.concatenate([cv_2, r_2], axis=-1)
-        )
+        r_2 = self.rconv_2(f14_2)
+        flow_2 = self.decoder_2(jnp.concatenate([cv_2, r_2], axis=-1))
 
         cv_3 = local_correlation(f14_3, f24_3, md, indices=idx)
-        r_3 = ConvRelu(16, name="rconv_3")(f14_3)
-        flow_3 = Decoder(self.groups, name="decoder_3")(
-            jnp.concatenate([cv_3, r_3], axis=-1)
-        )
+        r_3 = self.rconv_3(f14_3)
+        flow_3 = self.decoder_3(jnp.concatenate([cv_3, r_3], axis=-1))
 
         flow_concat = jnp.concatenate([flow_1, flow_2, flow_3], axis=-1)
-        out = conv2d(2, kernel_size=1, padding=0, name="out_conv")(flow_concat)
+        out = self.out_conv(flow_concat)
         flow_up = upsample_flow_to(out, out_size)
 
         return (events1, events2), [flow_up]

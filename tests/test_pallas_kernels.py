@@ -65,5 +65,56 @@ def test_voxel_scatter_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def _eemflow_fast_vs_ref(monkeypatch, impl, groups=5, interpret=False):
+    """Build EEMFlow twice on the same params — standard path vs fused
+    coarse head — and return (ref, got) final flows."""
+    if interpret:
+        from jax.experimental import pallas as pl
+
+        import eemflow_tpu.ops.pallas.coarse_head as ch
+
+        orig = pl.pallas_call
+
+        def interp_call(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(ch.pl, "pallas_call", interp_call)
+
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    rng = np.random.default_rng(7)
+    ev1 = jnp.asarray(rng.standard_normal((2, 128, 192, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((2, 128, 192, 5)), jnp.float32)
+    m = EEMFlow(groups=groups)
+    params = m.init(jax.random.PRNGKey(0), ev1, ev2)
+    _, [ref] = m.apply(params, ev1, ev2)
+    mf = EEMFlow(groups=groups, fast_head=True, fast_head_impl=impl)
+    _, [got] = mf.apply(params, ev1, ev2)
+    return np.asarray(ref), np.asarray(got)
+
+
+def test_eemflow_coarse_head_xla_twin(monkeypatch):
+    """The fused-math jnp twin (im2col matmuls, dense-ified grouped convs,
+    shuffle folded into weight perms) matches the standard path to fp
+    noise — validates the weight packing independently of Pallas."""
+    ref, got = _eemflow_fast_vs_ref(monkeypatch, impl="xla")
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_eemflow_coarse_head_xla_twin_groups1(monkeypatch):
+    """groups=1 decoder variant (no shuffle/grouped path in the packer)."""
+    ref, got = _eemflow_fast_vs_ref(monkeypatch, impl="xla", groups=1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_eemflow_coarse_head_pallas_interpret(monkeypatch):
+    """The fused Pallas kernel (interpret mode) matches the standard
+    EEMFlow forward end-to-end on the same params."""
+    ref, got = _eemflow_fast_vs_ref(monkeypatch, impl="pallas",
+                                    interpret=True)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -33,6 +33,8 @@ def main() -> None:
                    help="build via get_eval_model (final-only upsample)")
     p.add_argument("--corr_fast", action="store_true",
                    help="RAFT-lineage serving mode (implies --eval)")
+    p.add_argument("--fast_head", action="store_true",
+                   help="EEMFlow fused Pallas coarse head (implies --eval)")
     args = p.parse_args()
 
     import jax
@@ -48,10 +50,13 @@ def main() -> None:
     from eemflow_tpu.models.registry import get_eval_model
 
     h, w = args.size
-    if args.eval or args.corr_fast:
-        model = get_eval_model(
-            args.model, **({"corr_fast": True} if args.corr_fast else {})
-        )
+    if args.eval or args.corr_fast or args.fast_head:
+        extra = {}
+        if args.corr_fast:
+            extra["corr_fast"] = True
+        if args.fast_head:
+            extra["fast_head"] = True
+        model = get_eval_model(args.model, **extra)
     else:
         model = get_model(args.model)
     rng = np.random.default_rng(0)

@@ -39,6 +39,15 @@ def main() -> None:
                    "volumes + bf16 tap lookup, fp32 accumulation "
                    "(~1.5x on ERAFT; <=1e-2 rel corr perturbation — "
                    "do not use for checkpoint-parity evaluation)")
+    p.add_argument("--fast_head", action="store_true",
+                   help="EEMFlow serving mode: the whole coarse stage "
+                   "(3x correlation + 3x decoder + 1x1 fuse) as one "
+                   "fused Pallas kernel; same params, f32 math, parity "
+                   "to fp noise (ops/pallas/coarse_head.py)")
+    p.add_argument("--fast_head_impl", default="pallas",
+                   choices=["pallas", "xla"],
+                   help="fused-head implementation (xla = the pure-jnp "
+                   "twin of the fused math, the measurement control)")
     args = p.parse_args()
 
     import jax
@@ -57,9 +66,13 @@ def main() -> None:
 
     h, w = args.size
     k1, k2 = args.k if args.k else (4, 24)
-    model = get_eval_model(
-        args.model, **({"corr_fast": True} if args.corr_fast else {})
-    )
+    extra = {}
+    if args.corr_fast:
+        extra["corr_fast"] = True
+    if args.fast_head:
+        extra["fast_head"] = True
+        extra["fast_head_impl"] = args.fast_head_impl
+    model = get_eval_model(args.model, **extra)
     rng = np.random.default_rng(0)
     bufs = tuple(
         jnp.asarray(rng.standard_normal((args.batch_size, h, w, args.bins)),
