@@ -193,6 +193,12 @@ class EEMFlow(nn.Module):
     s2d_stem: bool = False
     fast_head: bool = False
     fast_head_impl: str = "pallas"
+    # serving mode for the pyramid body: stride-1 convs + pool of each
+    # level fused into one Pallas pass (ops/pallas/fused_convs.py); the
+    # stride-2 convs stay XLA convs.  dtype "bfloat16" additionally casts
+    # the conv matmul operands (fp32 accumulation) — tolerance-tested.
+    fast_pyramid: bool = False
+    fast_pyramid_dtype: str = "float32"
 
     def setup(self):
         self.pyramid = Pyramid(s2d_stem=self.s2d_stem)
@@ -204,6 +210,51 @@ class EEMFlow(nn.Module):
         self.decoder_3 = Decoder(self.groups)
         self.out_conv = conv2d(2, kernel_size=1, padding=0)
 
+    def _fast_pyramid(self, ev):
+        """Serving pyramid: XLA stride-2 convs + fused Pallas
+        stride-1-convs+pool per level (ops/pallas/fused_convs.py).
+        Reads the SAME params as ``self.pyramid`` — checkpoints load
+        either way; only pooled grids are produced (the full-res level
+        outputs feed nothing else in EEMFlow's forward)."""
+        from eemflow_tpu.models.layers import leaky_relu01
+        from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+
+        pp = self.variables["params"]["pyramid"]
+        cdt = (
+            jnp.bfloat16
+            if self.fast_pyramid_dtype in ("bf16", "bfloat16")
+            else jnp.float32
+        )
+
+        def s2(x, p):
+            w = jnp.asarray(p["0"]["kernel"], x.dtype)
+            b = jnp.asarray(p["0"]["bias"], x.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return leaky_relu01(y + b)
+
+        def kb(names):
+            ks = [pp[n]["0"]["kernel"] for n in names]
+            bs = [pp[n]["0"]["bias"] for n in names]
+            return ks, bs
+
+        g1 = s2(ev, pp["pconv1_1"])
+        f11, p1 = fused_convs_pool(
+            g1, *kb(["pconv1_2"]), pool=32, compute_dtype=cdt
+        )
+        g2 = s2(f11, pp["pconv2_1"])
+        f12, p2 = fused_convs_pool(
+            g2, *kb(["pconv2_2", "pconv2_3"]), pool=16, compute_dtype=cdt
+        )
+        g3 = s2(f12, pp["pconv3_1"])
+        _, p3 = fused_convs_pool(
+            g3, *kb(["pconv3_2", "pconv3_3"]), pool=8, compute_dtype=cdt,
+            emit_full=False,
+        )
+        return p1, p2, p3
+
     def __call__(self, events1, events2, train: bool = False):
         B, H, W, _ = events1.shape
         out_size = (16, 16) if (train and self.out_mesh_size) else (H, W)
@@ -211,13 +262,17 @@ class EEMFlow(nn.Module):
         padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
         ev1, ev2 = padder.pad(events1, events2)
 
-        f11, f12, f13 = self.pyramid(ev1)
-        f21, f22, f23 = self.pyramid(ev2)
+        if self.fast_pyramid and not train and not self.is_initializing():
+            f14_1, f14_2, f14_3 = self._fast_pyramid(ev1)
+            f24_1, f24_2, f24_3 = self._fast_pyramid(ev2)
+        else:
+            f11, f12, f13 = self.pyramid(ev1)
+            f21, f22, f23 = self.pyramid(ev2)
 
-        # pool each level to the coarse correlation grid (32/16/8)
-        f14_1, f24_1 = avg_pool2d(f11, 32), avg_pool2d(f21, 32)
-        f14_2, f24_2 = avg_pool2d(f12, 16), avg_pool2d(f22, 16)
-        f14_3, f24_3 = avg_pool2d(f13, 8), avg_pool2d(f23, 8)
+            # pool each level to the coarse correlation grid (32/16/8)
+            f14_1, f24_1 = avg_pool2d(f11, 32), avg_pool2d(f21, 32)
+            f14_2, f24_2 = avg_pool2d(f12, 16), avg_pool2d(f22, 16)
+            f14_3, f24_3 = avg_pool2d(f13, 8), avg_pool2d(f23, 8)
 
         idx = tuple(self.corr_indices)
         md = self.max_displacement

@@ -1,0 +1,190 @@
+"""Fused stride-1 conv chain + average pool — the EEMFlow pyramid body.
+
+EEMFlow's pyramid (reference ``model/EEMFlow/EEMFlow.py:75-82``) is three
+levels of [stride-2 conv, then 1-2 stride-1 convs], each level average-
+pooled to the coarse grid.  The stride-1 convs carry ~75% of the pyramid
+FLOPs and run at tiny channel counts (16/32/64) where XLA's conv path is
+dominated by activation relayouts (docs/PERF.md "Where EEMFlow's time
+goes").  This kernel fuses a level's stride-1 convs and its pool into one
+pass over row bands: HBM is read ~3× (neighbor-halo blocks) and written
+once, all intermediates live in VMEM, the convs are im2col matmuls.
+
+Semantics: each conv is 3×3, pad 1 (zeros), LeakyReLU(0.1), C→C.  Zero
+padding is preserved exactly across the chain: the kernel computes on a
+margin-padded plane and re-zeroes out-of-image rows/cols after every conv
+(a conv's *input* is zero outside the image — NOT the previous conv
+evaluated beyond the boundary, which would leak bias+relu).
+
+``compute_dtype=bfloat16`` casts the matmul operands (fp32 accumulation)
+— the serving configuration, ~1e-3 rel feature perturbation, model-level
+tolerance tested.  fp32 operands give parity to fp noise.
+
+Grid: (B, H/tile_rows); tile_rows = the pool window so each program emits
+one pooled row band.  The three input views are the (i-1, i, i+1) row
+blocks (clamped at the ends; out-of-image halo rows are masked to zero
+in-kernel), giving the conv halo without overlapping BlockSpecs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_conv3x3(kernel: jax.Array) -> jax.Array:
+    """(3,3,Cin,Cout) HWIO → (9·Cin, Cout), tap-major (matches im2col)."""
+    kh, kw, cin, cout = kernel.shape
+    return kernel.reshape(kh * kw * cin, cout)
+
+
+def _lrelu(x):
+    return jnp.where(x > 0, x, 0.1 * x)
+
+
+def _kernel(
+    n_convs: int,
+    tile_rows: int,
+    H: int,
+    W: int,
+    pool: int,
+    emit_full: bool,
+    compute_dtype,
+    *refs,
+):
+    prev_ref, cur_ref, next_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3 : 3 + n_convs]
+    b_refs = refs[3 + n_convs : 3 + 2 * n_convs]
+    out_refs = refs[3 + 2 * n_convs :]
+
+    i = pl.program_id(1)
+    h = n_convs  # rows of halo needed on each side
+    m = n_convs  # zero-margin columns on each side
+
+    band = jnp.concatenate(
+        [prev_ref[0, -h:], cur_ref[0], next_ref[0, :h]], axis=0
+    ).astype(jnp.float32)
+    # (tile_rows + 2h, W, C); image row of band row r = i*tile_rows - h + r.
+    # The edge tiles' clamped neighbor blocks hold duplicated in-image data
+    # where the conv needs zero padding — mask out-of-image rows to zero.
+    rows0 = (
+        jax.lax.broadcasted_iota(jnp.int32, band.shape[:2], 0)
+        + i * tile_rows
+        - h
+    )
+    band = jnp.where(((rows0 >= 0) & (rows0 < H))[:, :, None], band, 0.0)
+
+    plane = jnp.pad(band, ((0, 0), (m, m), (0, 0)))
+
+    for j in range(n_convs):
+        R, Wp, C = plane.shape
+        cols = [
+            jax.lax.slice(plane, (dy, dx, 0), (R - 2 + dy, Wp - 2 + dx, C))
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        x9 = jnp.concatenate(cols, axis=-1).reshape((R - 2) * (Wp - 2), 9 * C)
+        w = w_refs[j][:]
+        y = jnp.dot(
+            x9.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + b_refs[j][:]
+        y = _lrelu(y).reshape(R - 2, Wp - 2, w.shape[1])
+        # restore exact zero-pad semantics for the next conv: zero the
+        # margin cols and any out-of-image rows this conv just filled
+        mm = m - 1 - j
+        row0 = i * tile_rows - h + (j + 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, y.shape[:2], 0) + row0
+        keep = (rows >= 0) & (rows < H)
+        if mm > 0:
+            colix = jax.lax.broadcasted_iota(jnp.int32, y.shape[:2], 1)
+            keep = keep & (colix >= mm) & (colix < Wp - 2 - mm)
+        plane = jnp.where(keep[:, :, None], y, 0.0)
+
+    # plane is now exactly rows [i*tile_rows, (i+1)*tile_rows) × W × C
+    if emit_full:
+        out_refs[0][0] = plane.astype(out_refs[0].dtype)
+    pooled = plane.reshape(
+        tile_rows // pool, pool, W // pool, pool, plane.shape[-1]
+    ).mean(axis=(1, 3))
+    out_refs[-1][0] = pooled.astype(out_refs[-1].dtype)
+
+
+def fused_convs_pool(
+    x: jax.Array,
+    kernels: Sequence[jax.Array],
+    biases: Sequence[jax.Array],
+    pool: int,
+    tile_rows: int | None = None,
+    compute_dtype=jnp.float32,
+    emit_full: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array | None, jax.Array]:
+    """Run n 3×3 same-C convs (+LeakyReLU 0.1 each) then avg-pool.
+
+    x: (B, H, W, C).  kernels: HWIO (3,3,C,C) per conv.  Returns
+    (full-res output or None, pooled (B, H/pool, W/pool, C)), fp32.
+    """
+    B, H, W, C = x.shape
+    n = len(kernels)
+    assert n >= 1 and all(k.shape == (3, 3, C, C) for k in kernels)
+    tr = tile_rows or pool
+    assert tr % pool == 0 and H % tr == 0 and W % pool == 0
+    T = H // tr
+
+    ws = [pack_conv3x3(jnp.asarray(k, jnp.float32)) for k in kernels]
+    bs = [jnp.asarray(b, jnp.float32).reshape(1, C) for b in biases]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, tr, W, C),
+            functools.partial(
+                lambda b, i, d: (b, jnp.clip(i + d, 0, T - 1), 0, 0), d=d
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for d in (-1, 0, 1)
+    ]
+    for t in ws + bs:
+        in_specs.append(
+            pl.BlockSpec(t.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    out_specs = []
+    out_shapes = []
+    if emit_full:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, tr, W, C), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, W, C), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec(
+            (1, tr // pool, W // pool, C),
+            lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    out_shapes.append(
+        jax.ShapeDtypeStruct((B, H // pool, W // pool, C), jnp.float32)
+    )
+
+    res = pl.pallas_call(
+        functools.partial(_kernel, n, tr, H, W, pool, emit_full,
+                          compute_dtype),
+        grid=(B, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, x, x, *ws, *bs)
+    if emit_full:
+        return res[0], res[1]
+    return None, res[0]

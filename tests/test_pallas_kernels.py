@@ -116,5 +116,81 @@ def test_eemflow_coarse_head_pallas_interpret(monkeypatch):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def _interp_fused_convs(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    import eemflow_tpu.ops.pallas.fused_convs as fc
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fc.pl, "pallas_call", interp_call)
+
+
+def test_fused_convs_pool_matches_reference(monkeypatch):
+    """fused_convs_pool (interpret mode) == chain of pad-1 3×3 convs +
+    LeakyReLU + non-overlapping avg pool, incl. the boundary re-zeroing
+    between convs (zero-pad semantics must not leak bias+relu)."""
+    _interp_fused_convs(monkeypatch)
+    import flax.linen as nn
+
+    from eemflow_tpu.models.layers import leaky_relu01
+    from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+    from eemflow_tpu.ops.pooling import avg_pool2d
+
+    rng = np.random.default_rng(11)
+    B, H, W, C, pool = 2, 48, 64, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    ks = [
+        jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+        for _ in range(2)
+    ]
+    bs = [
+        jnp.asarray(rng.standard_normal((C,)) * 0.5, jnp.float32)
+        for _ in range(2)
+    ]
+
+    ref = x
+    for k, b in zip(ks, bs):
+        ref = leaky_relu01(
+            jax.lax.conv_general_dilated(
+                ref, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+    ref_pool = avg_pool2d(ref, pool)
+
+    full, pooled = fused_convs_pool(x, ks, bs, pool=pool)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(ref_pool), atol=1e-5
+    )
+
+
+def test_eemflow_fast_pyramid_interpret(monkeypatch):
+    """EEMFlow(fast_pyramid=True) (interpret mode) matches the standard
+    forward; bf16 compute stays within serving tolerance."""
+    _interp_fused_convs(monkeypatch)
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    rng = np.random.default_rng(5)
+    ev1 = jnp.asarray(rng.standard_normal((1, 128, 192, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 128, 192, 5)), jnp.float32)
+    m = EEMFlow()
+    params = m.init(jax.random.PRNGKey(0), ev1, ev2)
+    _, [ref] = m.apply(params, ev1, ev2)
+    _, [got] = EEMFlow(fast_pyramid=True).apply(params, ev1, ev2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    _, [gotb] = EEMFlow(
+        fast_pyramid=True, fast_pyramid_dtype="bf16"
+    ).apply(params, ev1, ev2)
+    d = np.abs(np.asarray(gotb) - np.asarray(ref)).max()
+    assert d < 0.05, f"bf16 fast pyramid drifted {d}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -48,6 +48,14 @@ def main() -> None:
                    choices=["pallas", "xla"],
                    help="fused-head implementation (xla = the pure-jnp "
                    "twin of the fused math, the measurement control)")
+    p.add_argument("--fast_pyramid", action="store_true",
+                   help="EEMFlow serving mode: per-level stride-1 convs + "
+                   "pool fused into one Pallas pass (f32 math, parity to "
+                   "fp noise)")
+    p.add_argument("--fast_pyramid_bf16", action="store_true",
+                   help="additionally cast the fused pyramid's matmul "
+                   "operands to bf16 (fp32 accum; ~2e-3 px flow "
+                   "perturbation — not for checkpoint-parity evaluation)")
     args = p.parse_args()
 
     import jax
@@ -72,6 +80,10 @@ def main() -> None:
     if args.fast_head:
         extra["fast_head"] = True
         extra["fast_head_impl"] = args.fast_head_impl
+    if args.fast_pyramid or args.fast_pyramid_bf16:
+        extra["fast_pyramid"] = True
+        if args.fast_pyramid_bf16:
+            extra["fast_pyramid_dtype"] = "bf16"
     model = get_eval_model(args.model, **extra)
     rng = np.random.default_rng(0)
     bufs = tuple(
