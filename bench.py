@@ -282,7 +282,7 @@ def _serving_sustained(extra, rng):
     )  # [2k, B, N_EV, 4]
     nss_agg = jnp.asarray(np.stack([nss_np[i % KB] for i in range(2 * K_AGG)]))
 
-    def make_agg(k):
+    def make_agg(k, mdl):
         def f(v, estack, nstack):
             acc = jnp.zeros((), jnp.float32)
             for c in range(k):  # k independent voxelize+forward chains
@@ -293,18 +293,34 @@ def _serving_sustained(extra, rng):
                     "n_new": nstack[2 * c + 1],
                 }
                 b = pre(b)
-                _, flows = model.apply(v, b["event_volume_old"],
-                                       b["event_volume_new"])
+                _, flows = mdl.apply(v, b["event_volume_old"],
+                                     b["event_volume_new"])
                 acc = acc + flows[-1].mean().astype(jnp.float32)
             return acc
 
         return jax.jit(f)
 
-    t1 = _fetch_time(make_agg(3), (var_init, evs_agg, nss_agg), reps=5)
-    t2 = _fetch_time(make_agg(K_AGG), (var_init, evs_agg, nss_agg), reps=5)
+    t1 = _fetch_time(make_agg(3, model), (var_init, evs_agg, nss_agg), reps=5)
+    t2 = _fetch_time(make_agg(K_AGG, model), (var_init, evs_agg, nss_agg),
+                     reps=5)
     t_dev_frame = (t2 - t1) / (K_AGG - 3) / B
     extra["serving_agg_device_ms_per_frame"] = round(t_dev_frame * 1e3, 3)
     extra["serving_agg_device_fps"] = round(1.0 / t_dev_frame, 2)
+
+    # fused-serving variant (Pallas coarse head + fused pyramid, f32 —
+    # parity to fp noise): headlines when faster
+    try:
+        fmodel = EEMFlow(fast_head=True, fast_pyramid=True)
+        t1 = _fetch_time(make_agg(3, fmodel), (var_init, evs_agg, nss_agg),
+                         reps=5)
+        t2 = _fetch_time(make_agg(K_AGG, fmodel),
+                         (var_init, evs_agg, nss_agg), reps=5)
+        t_fast = (t2 - t1) / (K_AGG - 3) / B
+        extra["serving_agg_fast_device_ms_per_frame"] = round(t_fast * 1e3, 3)
+        extra["serving_agg_fast_device_fps"] = round(1.0 / t_fast, 2)
+        t_dev_frame = min(t_dev_frame, t_fast)
+    except Exception as e:
+        extra["serving_fast_error"] = repr(e)[:160]
 
     fps = 1.0 / max(t_dev_frame, t_host_frame)
     extra["serving_bottleneck"] = (
@@ -379,6 +395,27 @@ def main() -> None:
         extra["achieved_tflops_bf16"] = round(flops / dt16 / 1e12, 2)
         if peak:
             extra["mfu_bf16"] = round(flops / dt16 / 1e12 / peak, 4)
+
+    # ---- fused serving forward: Pallas coarse head + fused pyramid
+    # (ops/pallas/{coarse_head,fused_convs}.py; same params, f32 math
+    # parity to fp noise; _bf16 additionally casts the pyramid matmul
+    # operands, ~2e-3 px flow perturbation) ----
+    try:
+        fm = EEMFlow(fast_head=True, fast_pyramid=True)
+        fapply = lambda v, a, b: fm.apply(v, a, b)[1][-1]
+        dtf = _fwd_throughput(fapply, variables, bufs, 4, 24)
+        extra["eemflow_fwd_fast_fps"] = round(batch / dtf, 2)
+        if flops > 0:
+            extra["achieved_tflops_fast"] = round(flops / dtf / 1e12, 2)
+            if peak:
+                extra["mfu_fast"] = round(flops / dtf / 1e12 / peak, 4)
+        fmb = EEMFlow(fast_head=True, fast_pyramid=True,
+                      fast_pyramid_dtype="bf16")
+        fbapply = lambda v, a, b: fmb.apply(v, a, b)[1][-1]
+        dtfb = _fwd_throughput(fbapply, variables, bufs, 4, 24)
+        extra["eemflow_fwd_fast_bf16_fps"] = round(batch / dtfb, 2)
+    except Exception as e:
+        extra["fast_fwd_error"] = repr(e)[:160]
 
     # ---- ERAFT fwd @512x960 b=1 (the reference's second harness) ----
     try:
