@@ -47,6 +47,12 @@ def main() -> None:
                    help="event bucket ladder rungs (eval default: fixed bucket)")
     p.add_argument("--config", default=None,
                    help="optional config JSON carrying model hyperparameters")
+    p.add_argument("--fast_head", action="store_true",
+                   help="EEMFlow: fused Pallas coarse head (f32 math, "
+                   "parity to fp noise — safe for checkpoint evals)")
+    p.add_argument("--fast_pyramid", action="store_true",
+                   help="EEMFlow: fused Pallas pyramid body (f32 math, "
+                   "parity to fp noise)")
     args = p.parse_args()
 
     import jax
@@ -66,7 +72,12 @@ def main() -> None:
     from eemflow_tpu.utils.logger import Logger
 
     cfg = load_config(args.config) if args.config else {}
-    model = get_eval_model(args.model, **model_kwargs_from_config(args.model, cfg))
+    model_kwargs = model_kwargs_from_config(args.model, cfg)
+    if args.fast_head:
+        model_kwargs["fast_head"] = True
+    if args.fast_pyramid:
+        model_kwargs["fast_pyramid"] = True
+    model = get_eval_model(args.model, **model_kwargs)
 
     if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
         from eemflow_tpu.compat.torch_loader import (
