@@ -54,6 +54,7 @@ def _kernel(
     pool: int,
     emit_full: bool,
     compute_dtype,
+    variant: str,
     *refs,
 ):
     prev_ref, cur_ref, next_ref = refs[0], refs[1], refs[2]
@@ -82,18 +83,38 @@ def _kernel(
 
     for j in range(n_convs):
         R, Wp, C = plane.shape
-        cols = [
-            jax.lax.slice(plane, (dy, dx, 0), (R - 2 + dy, Wp - 2 + dx, C))
-            for dy in range(3)
-            for dx in range(3)
-        ]
-        x9 = jnp.concatenate(cols, axis=-1).reshape((R - 2) * (Wp - 2), 9 * C)
         w = w_refs[j][:]
-        y = jnp.dot(
-            x9.astype(compute_dtype),
-            w.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        ) + b_refs[j][:]
+        if variant == "im2col":
+            cols = [
+                jax.lax.slice(
+                    plane, (dy, dx, 0), (R - 2 + dy, Wp - 2 + dx, C)
+                )
+                for dy in range(3)
+                for dx in range(3)
+            ]
+            x9 = jnp.concatenate(cols, axis=-1).reshape(
+                (R - 2) * (Wp - 2), 9 * C
+            )
+            y = jnp.dot(
+                x9.astype(compute_dtype),
+                w.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) + b_refs[j][:]
+        else:  # "taps": 9 accumulated dots, no X9 materialisation
+            y = b_refs[j][:] * jnp.ones(
+                ((R - 2) * (Wp - 2), 1), jnp.float32
+            )
+            for t, (dy, dx) in enumerate(
+                (a, b) for a in range(3) for b in range(3)
+            ):
+                xt = jax.lax.slice(
+                    plane, (dy, dx, 0), (R - 2 + dy, Wp - 2 + dx, C)
+                ).reshape((R - 2) * (Wp - 2), C)
+                y = y + jnp.dot(
+                    xt.astype(compute_dtype),
+                    w[t * C : (t + 1) * C].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
         y = _lrelu(y).reshape(R - 2, Wp - 2, w.shape[1])
         # restore exact zero-pad semantics for the next conv: zero the
         # margin cols and any out-of-image rows this conv just filled
@@ -123,6 +144,7 @@ def fused_convs_pool(
     tile_rows: int | None = None,
     compute_dtype=jnp.float32,
     emit_full: bool = True,
+    variant: str = "im2col",
     interpret: bool = False,
 ) -> Tuple[jax.Array | None, jax.Array]:
     """Run n 3×3 same-C convs (+LeakyReLU 0.1 each) then avg-pool.
@@ -178,7 +200,7 @@ def fused_convs_pool(
 
     res = pl.pallas_call(
         functools.partial(_kernel, n, tr, H, W, pool, emit_full,
-                          compute_dtype),
+                          compute_dtype, variant),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -164,11 +164,15 @@ def test_fused_convs_pool_matches_reference(monkeypatch):
         )
     ref_pool = avg_pool2d(ref, pool)
 
-    full, pooled = fused_convs_pool(x, ks, bs, pool=pool)
-    np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(pooled), np.asarray(ref_pool), atol=1e-5
-    )
+    for variant in ("im2col", "taps"):
+        full, pooled = fused_convs_pool(x, ks, bs, pool=pool,
+                                        variant=variant)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), np.asarray(ref_pool), atol=1e-5
+        )
 
 
 def test_eemflow_fast_pyramid_interpret(monkeypatch):
