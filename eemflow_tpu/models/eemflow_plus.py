@@ -71,6 +71,56 @@ class CDCModel(nn.Module):
         return flow_up
 
 
+class CFP(nn.Module):
+    """Confidence-gated flow propagation (reference ``cdc_utils.py:179-210``).
+
+    Self-attention over the projected guide feature propagates the initial
+    flow: ``softmax((proj·C^-0.5) @ projᵀ) @ flow``.  The confidence-mask
+    gating that names the module is commented out upstream
+    (``cdc_utils.py:192-202``), so the mask input is unused — replicated
+    faithfully."""
+
+    @nn.compact
+    def __call__(self, feat, flow_init):
+        B, H, W, C = feat.shape
+        tokens = feat.reshape(B, H * W, C)
+        proj = nn.Dense(C, name="self_corr")(tokens)
+        attn = jax.nn.softmax(
+            (proj * (C ** -0.5)) @ jnp.swapaxes(proj, 1, 2), axis=-1
+        )
+        flow = flow_init.reshape(B, H * W, 2)
+        return (attn @ flow).reshape(B, H, W, 2)
+
+
+class CDCCFPModel(nn.Module):
+    """``cdc_cfp_model`` (reference ``cdc_utils.py:211-288``): the SGU
+    variant whose upsample blends the inter-flow-warped flow with a CFP
+    attention-propagated flow::
+
+        flow_up = (backwarp(flow, inter_flow) + cfp) · ½ · (1−mask) + flow·mask
+
+    Dead code upstream — no shipped entry point constructs it (only the
+    unused ``--cdc_model`` flag in ``EEMFlow+.py:308`` names it) — exposed
+    here as ``EEMFlowPlus(cdc_variant="cfp")``.  The torch module's
+    ``upsample_output_conv`` has no forward path and is dropped by the
+    converter (``EEMFLOW_PLUS_DROP``)."""
+
+    @nn.compact
+    def __call__(self, flow_init, feature_1, feature_2):
+        fh, fw = feature_1.shape[1:3]
+        if flow_init.shape[1] != fh or flow_init.shape[2] != fw:
+            flow_init = upsample2d_flow_as(flow_init, (fh, fw), if_rate=True)
+        feature_2_warp = backwarp_masked(feature_2, flow_init)
+        feat = jnp.concatenate([feature_1, feature_2_warp], axis=-1)
+        _, x_out = FlowEstimatorDense(name="dense_estimator_mask")(feat)
+        inter_flow = x_out[..., :2]
+        inter_mask = nn.sigmoid(x_out[..., 2:3])
+        flow_add = CFP(name="cfp")(feature_2, flow_init)
+        return (backwarp(flow_init, inter_flow) + flow_add) * 0.5 * (
+            1 - inter_mask
+        ) + flow_init * inter_mask
+
+
 class EEMFlowPlus(nn.Module):
     """__call__(ev1, ev2 [B,H,W,bins]) → ((ev1, ev2), [flow6..flow2 upsampled])."""
 
@@ -78,6 +128,7 @@ class EEMFlowPlus(nn.Module):
     n_first_channels: int = 15
     corr_indices: Sequence[int] = INDEX_53
     max_displacement: int = 4
+    cdc_variant: str = "sgu"  # "cfp" → CDCCFPModel (see its docstring)
     pad_rate: int = 64
 
     @nn.compact
@@ -95,7 +146,8 @@ class EEMFlowPlus(nn.Module):
 
         idx = tuple(self.corr_indices)
         md = self.max_displacement
-        cdc = CDCModel(name="cdc_model")
+        cdc_cls = CDCModel if self.cdc_variant == "sgu" else CDCCFPModel
+        cdc = cdc_cls(name="cdc_model")
 
         # conv + LeakyReLU(0.1): the reference builds these with cdc_utils.conv
         # whose isReLU defaults to True (cdc_utils.py:9-30)

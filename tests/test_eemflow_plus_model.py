@@ -53,5 +53,68 @@ def test_eemflow_plus_matches_torch_oracle():
         )
 
 
+def test_cdc_cfp_matches_torch_oracle():
+    """CDCCFPModel (the reference's dead-upstream cdc_cfp_model variant,
+    cdc_utils.py:211-288) — CFP attention propagation + blended upsample —
+    against a torch oracle through the converter (incl. the
+    upsample_output_conv drop path)."""
+    from torch_oracles import OracleCDCCFP
+
+    from eemflow_tpu.models.eemflow_plus import CDCCFPModel
+
+    torch.manual_seed(1)
+    oracle = OracleCDCCFP().eval()
+    rng = np.random.default_rng(1)
+    B, H, W = 2, 12, 16
+    f1 = (rng.standard_normal((B, 32, H, W)) * 0.5).astype(np.float32)
+    f2 = (rng.standard_normal((B, 32, H, W)) * 0.5).astype(np.float32)
+    flow = (rng.standard_normal((B, 2, H // 2, W // 2)) * 2).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(
+            torch.from_numpy(flow), torch.from_numpy(f1), torch.from_numpy(f2)
+        ).numpy()
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    sd = filter_state_dict(sd, ("upsample_output_conv",))
+    variables = torch_state_dict_to_flax(sd, alias=eemflow_plus_alias)
+
+    model = CDCCFPModel()
+    got = model.apply(
+        variables,
+        jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        jnp.asarray(f1.transpose(0, 2, 3, 1)),
+        jnp.asarray(f2.transpose(0, 2, 3, 1)),
+    )
+    # Tolerance: the WarpingLayer_no_div ones-mask threshold is
+    # fp-borderline on a few warped samples (verified: every other
+    # intermediate — CFP attention, flow upsample, torch_warp — matches
+    # to ≤1e-5; the masked warp alone differs at isolated pixels).  Same
+    # atol+quantile pattern as test_eemflow_plus_matches_torch_oracle.
+    # (measured: 6/768 pixels differ, ≤0.037 — flow here is ±4 px, so a
+    # flipped mask pixel carries more than in the SGU test)
+    g = np.asarray(got).transpose(0, 3, 1, 2)
+    diff = np.abs(g - ref)
+    np.testing.assert_allclose(g, ref, atol=5e-2)
+    # each flipped pixel taints a dense-estimator receptive field
+    # (5 convs → ~11×11), so ~5% of pixels carry small secondary error
+    assert np.quantile(diff, 0.9) < 2e-3, np.quantile(diff, 0.9)
+    assert (diff > 2e-3).mean() < 0.10, (diff > 2e-3).mean()
+
+
+def test_eemflow_plus_cfp_variant_forward():
+    """EEMFlowPlus(cdc_variant='cfp') builds and runs end-to-end."""
+    from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+    rng = np.random.default_rng(2)
+    ev = jnp.asarray(rng.standard_normal((1, 64, 64, 15)), jnp.float32)
+    model = EEMFlowPlus(cdc_variant="cfp")
+    variables = model.init(jax.random.PRNGKey(0), ev, ev)
+    assert "cfp" in variables["params"]["cdc_model"]
+    _, flows = model.apply(variables, ev, ev)
+    assert len(flows) == 5
+    assert all(np.isfinite(np.asarray(f)).all() for f in flows)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

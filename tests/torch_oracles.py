@@ -421,6 +421,47 @@ class OracleCDC(nn.Module):
         return self.torch_warp(flow_init, inter_flow) * (1 - inter_mask) + flow_init * inter_mask
 
 
+class OracleCDCCFP(nn.Module):
+    """cdc_cfp_model (reference cdc_utils.py:211-288): SGU + CFP
+    attention-propagated flow blend.  upsample_output_conv (dead in the
+    reference forward) is included so the converter's drop path is
+    exercised."""
+
+    class _CFP(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.self_corr = nn.Linear(32, 32)
+
+        def forward(self, feat, flow_init):
+            b, ch, h, w = feat.shape
+            inp = feat.reshape(b, ch, h * w).permute(0, 2, 1)
+            inp = self.self_corr(inp)
+            attn = torch.softmax(
+                (inp * (ch ** -0.5)) @ inp.transpose(1, 2), -1
+            )
+            fl = flow_init.reshape(b, 2, h * w).permute(0, 2, 1)
+            return (attn @ fl).permute(0, 2, 1).reshape(b, 2, h, w)
+
+    def __init__(self):
+        super().__init__()
+        base = OracleCDC()  # borrow its Dense estimator (not registered)
+        self.dense_estimator_mask = base.dense_estimator_mask
+        self.cfp = self._CFP()
+        self.upsample_output_conv = nn.Sequential(nn.Conv2d(3, 16, 3, 1, 1))
+
+    def forward(self, flow_init, f1, f2):
+        if flow_init.shape[-2:] != f1.shape[-2:]:
+            flow_init = OracleCDC.up_flow_as(flow_init, f1.shape[-2:])
+        f2w = OracleCDC.warp_no_div(f2, flow_init)
+        x_out = self.dense_estimator_mask(torch.cat([f1, f2w], 1))
+        inter_flow = x_out[:, :2]
+        inter_mask = torch.sigmoid(x_out[:, 2:3])
+        flow_add = self.cfp(f2, flow_init)  # reference passes feature_2
+        return (
+            OracleCDC.torch_warp(flow_init, inter_flow) + flow_add
+        ) * 0.5 * (1 - inter_mask) + flow_init * inter_mask
+
+
 class OracleEEMFlowPlus(nn.Module):
     def __init__(self, groups=3, n_first_channels=15):
         super().__init__()
