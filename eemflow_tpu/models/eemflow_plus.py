@@ -130,6 +130,81 @@ class EEMFlowPlus(nn.Module):
     max_displacement: int = 4
     cdc_variant: str = "sgu"  # "cfp" → CDCCFPModel (see its docstring)
     pad_rate: int = 64
+    # serving modes (eval-only, same params/checkpoints; see
+    # ops/pallas/{fused_convs,coarse_head}.py): fast_pyramid fuses each
+    # level's stride-1 convs, fast_decoders runs every level's 7-conv
+    # decoder as one banded Pallas chain (grouped convs dense-ified,
+    # shuffles folded into weight perms).  fast_dtype="bf16" casts the
+    # matmul operands (fp32 accumulation) — tolerance-tested.
+    fast_pyramid: bool = False
+    fast_decoders: bool = False
+    fast_dtype: str = "float32"
+
+    def _fast_on(self, train):
+        return not train and not self.is_initializing()
+
+    def _cdt(self):
+        return (
+            jnp.bfloat16
+            if self.fast_dtype in ("bf16", "bfloat16")
+            else jnp.float32
+        )
+
+    def _fast_pyr(self, ev):
+        """Serving pyramid (same params as ``pyramid``): XLA stride-2
+        convs + fused stride-1-conv passes; level 3 also emits the first
+        pooled grid."""
+        from eemflow_tpu.models.layers import leaky_relu01
+        from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+
+        pp = self.variables["params"]["pyramid"]
+
+        def s2(x, p):
+            w = jnp.asarray(p["0"]["kernel"], x.dtype)
+            b = jnp.asarray(p["0"]["bias"], x.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return leaky_relu01(y + b)
+
+        def kb(names):
+            ks = [pp[n]["0"]["kernel"] for n in names]
+            bs = [pp[n]["0"]["bias"] for n in names]
+            return ks, bs
+
+        cdt = self._cdt()
+        g1 = s2(ev, pp["pconv1_1"])
+        f11, _ = fused_convs_pool(g1, *kb(["pconv1_2"]), pool=None,
+                                  compute_dtype=cdt)
+        g2 = s2(f11, pp["pconv2_1"])
+        f12, _ = fused_convs_pool(g2, *kb(["pconv2_2", "pconv2_3"]),
+                                  pool=None, compute_dtype=cdt)
+        g3 = s2(f12, pp["pconv3_1"])
+        f13, f14 = fused_convs_pool(g3, *kb(["pconv3_2", "pconv3_3"]),
+                                    pool=2, compute_dtype=cdt)
+        return f11, f12, f13, f14
+
+    def _fast_decoder(self, name, x):
+        """One banded fused Decoder chain; falls back to None when the
+        grid is shorter than the 7-row conv halo (caller keeps the
+        standard module path)."""
+        from eemflow_tpu.ops.pallas.coarse_head import decoder_dense_kernels
+        from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+
+        Hl = x.shape[1]
+        n = 7
+        if Hl < n:
+            return None
+        tr = next((d for d in (16, 12, 8) if Hl % d == 0 and d >= n), Hl)
+        ks, bs, relus = decoder_dense_kernels(
+            self.variables["params"][name], self.groups
+        )
+        out, _ = fused_convs_pool(
+            x, ks, bs, pool=None, tile_rows=tr, variant="taps",
+            relus=relus, compute_dtype=self._cdt(),
+        )
+        return out
 
     @nn.compact
     def __call__(self, events1, events2, train: bool = False):
@@ -137,10 +212,14 @@ class EEMFlowPlus(nn.Module):
         padder = InputPadder((H, W), mode="chairs", eval_pad_rate=self.pad_rate)
         im1, im2 = padder.pad(events1, events2)
 
-        pyramid = Pyramid(name="pyramid")
-        f11, f12, f13 = pyramid(im1)
-        f21, f22, f23 = pyramid(im2)
-        f14, f24 = avg_pool2d(f13, 2), avg_pool2d(f23, 2)
+        if self.fast_pyramid and self._fast_on(train):
+            f11, f12, f13, f14 = self._fast_pyr(im1)
+            f21, f22, f23, f24 = self._fast_pyr(im2)
+        else:
+            pyramid = Pyramid(name="pyramid")
+            f11, f12, f13 = pyramid(im1)
+            f21, f22, f23 = pyramid(im2)
+            f14, f24 = avg_pool2d(f13, 2), avg_pool2d(f23, 2)
         f15, f25 = avg_pool2d(f14, 2), avg_pool2d(f24, 2)
         f16, f26 = avg_pool2d(f15, 2), avg_pool2d(f25, 2)
 
@@ -156,12 +235,19 @@ class EEMFlowPlus(nn.Module):
             for l in (2, 3, 4, 5)
         }
 
+        def run_decoder(name, x):
+            if self.fast_decoders and self._fast_on(train):
+                out = self._fast_decoder(name, x)
+                if out is not None:
+                    return out
+            return Decoder(self.groups, mid=96, name=name)(x)
+
         # level 6 (coarsest)
         flow7_up = jnp.zeros(f16.shape[:3] + (2,), f16.dtype)
         cv6 = local_correlation(f16, f26, md, indices=idx)
         r16 = ConvRelu(32, name="rconv6")(f16)
-        flow6 = Decoder(self.groups, mid=96, name="decoder6")(
-            jnp.concatenate([cv6, r16, flow7_up], axis=-1)
+        flow6 = run_decoder(
+            "decoder6", jnp.concatenate([cv6, r16, flow7_up], axis=-1)
         )
 
         def level(l, f1, f2, flow_coarse, rconv_name, dec_name):
@@ -171,8 +257,8 @@ class EEMFlowPlus(nn.Module):
             f2_w = warp_align_corners(f2, flow_up)
             cv = local_correlation(f1, f2_w, md, indices=idx)
             r = ConvRelu(32, name=rconv_name)(f1)
-            flow = Decoder(self.groups, mid=96, name=dec_name)(
-                jnp.concatenate([cv, r, flow_up], axis=-1)
+            flow = run_decoder(
+                dec_name, jnp.concatenate([cv, r, flow_up], axis=-1)
             )
             return flow + flow_up
 

@@ -83,6 +83,40 @@ def _fold_shuffle(kernel: jax.Array, groups: int) -> jax.Array:
     return kernel[:, :, sigma_inv, :]
 
 
+def decoder_dense_kernels(
+    dec: Dict, groups: int
+) -> Tuple[List[jax.Array], List[jax.Array], Tuple[bool, ...]]:
+    """An EEMFlow/EEMFlow+ ``Decoder`` param tree → a plain 7-conv chain.
+
+    Returns (HWIO dense 3×3 kernels, biases, relu flags) consumable by
+    ``fused_convs.fused_convs_pool``: grouped convs dense-ified
+    block-diagonal, the channel shuffles folded into the next conv's
+    input-channel permutation, conv7 linear."""
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    def cr(name):
+        return f32(dec[name]["0"]["kernel"]), f32(dec[name]["0"]["bias"])
+
+    k1, b1 = cr("conv1")
+    mid = b1.shape[0]
+    ks, bs = [k1], [b1]
+    for i, fold in ((2, False), (3, True), (4, True)):
+        k, b = cr(f"conv{i}")
+        if groups != 1:
+            k = _dense_from_grouped(k, groups, mid)
+            if fold:
+                k = _fold_shuffle(k, groups)
+        ks.append(k)
+        bs.append(b)
+    k5, b5 = cr("conv5")
+    if groups != 1:
+        k5 = _fold_shuffle(k5, groups)
+    k6, b6 = cr("conv6")
+    ks += [k5, k6, f32(dec["conv7"]["kernel"])]
+    bs += [b5, b6, f32(dec["conv7"]["bias"])]
+    return ks, bs, (True,) * 6 + (False,)
+
+
 def pack_coarse_head_weights(
     params: Dict, groups: int
 ) -> Tuple[List[Dict[str, jax.Array]], jax.Array, jax.Array]:

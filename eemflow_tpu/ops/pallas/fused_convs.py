@@ -51,10 +51,11 @@ def _kernel(
     tile_rows: int,
     H: int,
     W: int,
-    pool: int,
+    pool,
     emit_full: bool,
     compute_dtype,
     variant: str,
+    relus: Tuple[bool, ...],
     *refs,
 ):
     prev_ref, cur_ref, next_ref = refs[0], refs[1], refs[2]
@@ -115,7 +116,9 @@ def _kernel(
                     w[t * C : (t + 1) * C].astype(compute_dtype),
                     preferred_element_type=jnp.float32,
                 )
-        y = _lrelu(y).reshape(R - 2, Wp - 2, w.shape[1])
+        if relus[j]:
+            y = _lrelu(y)
+        y = y.reshape(R - 2, Wp - 2, w.shape[1])
         # restore exact zero-pad semantics for the next conv: zero the
         # margin cols and any out-of-image rows this conv just filled
         mm = m - 1 - j
@@ -130,37 +133,55 @@ def _kernel(
     # plane is now exactly rows [i*tile_rows, (i+1)*tile_rows) × W × C
     if emit_full:
         out_refs[0][0] = plane.astype(out_refs[0].dtype)
-    pooled = plane.reshape(
-        tile_rows // pool, pool, W // pool, pool, plane.shape[-1]
-    ).mean(axis=(1, 3))
-    out_refs[-1][0] = pooled.astype(out_refs[-1].dtype)
+    if pool is not None:
+        pooled = plane.reshape(
+            tile_rows // pool, pool, W // pool, pool, plane.shape[-1]
+        ).mean(axis=(1, 3))
+        out_refs[-1][0] = pooled.astype(out_refs[-1].dtype)
 
 
 def fused_convs_pool(
     x: jax.Array,
     kernels: Sequence[jax.Array],
     biases: Sequence[jax.Array],
-    pool: int,
+    pool: int | None,
     tile_rows: int | None = None,
     compute_dtype=jnp.float32,
     emit_full: bool = True,
     variant: str = "im2col",
+    relus: Sequence[bool] | None = None,
     interpret: bool = False,
-) -> Tuple[jax.Array | None, jax.Array]:
-    """Run n 3×3 same-C convs (+LeakyReLU 0.1 each) then avg-pool.
+) -> Tuple[jax.Array | None, jax.Array | None]:
+    """Run a chain of 3×3 pad-1 convs (LeakyReLU 0.1 per `relus`, default
+    all) then optionally avg-pool the result.
 
-    x: (B, H, W, C).  kernels: HWIO (3,3,C,C) per conv.  Returns
-    (full-res output or None, pooled (B, H/pool, W/pool, C)), fp32.
+    x: (B, H, W, C).  kernels: HWIO (3,3,Cin_i,Cout_i), chained
+    (Cin_{i+1} == Cout_i; Cin_0 == C).  Returns (full-res output or
+    None, pooled (B, H/pool, W/pool, Cout) or None), fp32.
+
+    For wide rows or deep chains prefer ``variant="taps"`` — the im2col
+    matrix (rows·cols × 9·Cin) can exceed VMEM where the 9 accumulated
+    tap dots cannot.
     """
     B, H, W, C = x.shape
     n = len(kernels)
-    assert n >= 1 and all(k.shape == (3, 3, C, C) for k in kernels)
-    tr = tile_rows or pool
-    assert tr % pool == 0 and H % tr == 0 and W % pool == 0
+    chain = [C] + [k.shape[3] for k in kernels]
+    assert n >= 1 and all(
+        k.shape[:3] == (3, 3, chain[i]) for i, k in enumerate(kernels)
+    ), [k.shape for k in kernels]
+    c_out = chain[-1]
+    relus = tuple(relus) if relus is not None else (True,) * n
+    assert len(relus) == n
+    assert emit_full or pool is not None
+    tr = tile_rows or pool or 8
+    assert H % tr == 0 and (pool is None or (tr % pool == 0 and W % pool == 0))
+    assert tr >= n, (tr, n)  # neighbor blocks must cover the conv halo
     T = H // tr
 
     ws = [pack_conv3x3(jnp.asarray(k, jnp.float32)) for k in kernels]
-    bs = [jnp.asarray(b, jnp.float32).reshape(1, C) for b in biases]
+    bs = [
+        jnp.asarray(b, jnp.float32).reshape(1, -1) for b in biases
+    ]
 
     in_specs = [
         pl.BlockSpec(
@@ -182,31 +203,34 @@ def fused_convs_pool(
     if emit_full:
         out_specs.append(
             pl.BlockSpec(
-                (1, tr, W, C), lambda b, i: (b, i, 0, 0),
+                (1, tr, W, c_out), lambda b, i: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, W, C), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec(
-            (1, tr // pool, W // pool, C),
-            lambda b, i: (b, i, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, W, c_out), jnp.float32))
+    if pool is not None:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, tr // pool, W // pool, c_out),
+                lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
-    )
-    out_shapes.append(
-        jax.ShapeDtypeStruct((B, H // pool, W // pool, C), jnp.float32)
-    )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (B, H // pool, W // pool, c_out), jnp.float32
+            )
+        )
 
     res = pl.pallas_call(
         functools.partial(_kernel, n, tr, H, W, pool, emit_full,
-                          compute_dtype, variant),
+                          compute_dtype, variant, relus),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(x, x, x, *ws, *bs)
-    if emit_full:
-        return res[0], res[1]
-    return None, res[0]
+    full = res[0] if emit_full else None
+    pooled = res[-1] if pool is not None else None
+    return full, pooled

@@ -196,5 +196,42 @@ def test_eemflow_fast_pyramid_interpret(monkeypatch):
     assert d < 0.05, f"bf16 fast pyramid drifted {d}"
 
 
+def test_eemflow_plus_fast_modes_interpret(monkeypatch):
+    """EEMFlowPlus(fast_pyramid/fast_decoders) (interpret mode) matches the
+    standard coarse-to-fine forward on the same params; the fused decoder
+    chain covers both the banded path (levels with H ≥ 7) and the
+    short-grid fallback (coarsest levels), plus the shuffle-fold packing
+    for groups=3."""
+    _interp_fused_convs(monkeypatch)
+    from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+    rng = np.random.default_rng(13)
+    ev1 = jnp.asarray(rng.standard_normal((1, 128, 192, 15)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 128, 192, 15)), jnp.float32)
+    m = EEMFlowPlus()
+    params = m.init(jax.random.PRNGKey(0), ev1, ev2)
+    _, refs = m.apply(params, ev1, ev2)
+    _, gots = EEMFlowPlus(fast_pyramid=True, fast_decoders=True).apply(
+        params, ev1, ev2
+    )
+    assert len(gots) == len(refs)
+    for ref, got in zip(refs, gots):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+    _, gotsb = EEMFlowPlus(
+        fast_pyramid=True, fast_decoders=True, fast_dtype="bf16"
+    ).apply(params, ev1, ev2)
+    # bf16 serving tolerance: mean drift relative to mean flow magnitude.
+    # Max-drift is dominated by isolated warp-sample boundary crossings in
+    # the coarse-to-fine feedback (random-init weights produce 10-17 px
+    # flows — far rougher than any trained checkpoint); the mean is the
+    # stable criterion.  Measured here: ~1.5% (pyramid ~0.5% + decoders
+    # ~1.1%).
+    d = np.abs(np.asarray(gotsb[-1]) - np.asarray(refs[-1])).mean()
+    mag = np.abs(np.asarray(refs[-1])).mean()
+    assert d / mag < 0.03, f"bf16 fast EEMFlow+ drifted {d} ({d / mag:.1%})"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -53,6 +53,10 @@ def main() -> None:
     p.add_argument("--fast_pyramid", action="store_true",
                    help="EEMFlow: fused Pallas pyramid body (f32 math, "
                    "parity to fp noise)")
+    p.add_argument("--fast_decoders", action="store_true",
+                   help="eemflow_plus: fused banded Pallas decoder chains "
+                   "(f32 math, parity to fp noise — safe for checkpoint "
+                   "evals)")
     args = p.parse_args()
 
     import jax
@@ -77,6 +81,8 @@ def main() -> None:
         model_kwargs["fast_head"] = True
     if args.fast_pyramid:
         model_kwargs["fast_pyramid"] = True
+    if args.fast_decoders:
+        model_kwargs["fast_decoders"] = True
     model = get_eval_model(args.model, **model_kwargs)
 
     if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):

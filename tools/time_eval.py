@@ -56,6 +56,11 @@ def main() -> None:
                    help="additionally cast the fused pyramid's matmul "
                    "operands to bf16 (fp32 accum; ~2e-3 px flow "
                    "perturbation — not for checkpoint-parity evaluation)")
+    p.add_argument("--fast_decoders", action="store_true",
+                   help="eemflow_plus serving mode: each level's 7-conv "
+                   "grouped decoder as one banded fused Pallas chain "
+                   "(shuffles folded into weight perms; f32 math, parity "
+                   "to fp noise; coarsest sub-halo grids fall back)")
     args = p.parse_args()
 
     import jax
@@ -80,10 +85,13 @@ def main() -> None:
     if args.fast_head:
         extra["fast_head"] = True
         extra["fast_head_impl"] = args.fast_head_impl
+    plus = args.model in ("eemflow_plus", "EEMFlow_cdc")
     if args.fast_pyramid or args.fast_pyramid_bf16:
         extra["fast_pyramid"] = True
         if args.fast_pyramid_bf16:
-            extra["fast_pyramid_dtype"] = "bf16"
+            extra["fast_dtype" if plus else "fast_pyramid_dtype"] = "bf16"
+    if args.fast_decoders:
+        extra["fast_decoders"] = True
     model = get_eval_model(args.model, **extra)
     rng = np.random.default_rng(0)
     bufs = tuple(
