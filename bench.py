@@ -450,6 +450,17 @@ def main() -> None:
         papply = lambda v, a, b: pm.apply(v, a, b)[1][-1]
         dtp = _fwd_throughput(papply, p_var, bufs, 2, 10)
         extra["eemflow_plus_fwd_fps"] = round(batch / dtp, 2)
+
+        # serving mode: fused Pallas pyramid + banded decoder chains +
+        # SGU concat chain (same params, f32 math, parity to fp noise)
+        try:
+            pmf = EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
+                              fast_sgu=True)
+            pfapply = lambda v, a, b: pmf.apply(v, a, b)[1][-1]
+            dtpf = _fwd_throughput(pfapply, p_var, bufs, 2, 10)
+            extra["eemflow_plus_fwd_fast_fps"] = round(batch / dtpf, 2)
+        except Exception as e:
+            extra["eemflow_plus_fast_error"] = repr(e)[:120]
     except Exception as e:
         extra["eemflow_plus_error"] = repr(e)[:120]
 

@@ -1,1 +1,6 @@
-from eemflow_tpu.models.registry import get_model, get_eval_model, MODEL_REGISTRY
+from eemflow_tpu.models.registry import (
+    MODEL_REGISTRY,
+    fast_eval_kwargs,
+    get_eval_model,
+    get_model,
+)

@@ -53,7 +53,41 @@ class FlowEstimatorDense(nn.Module):
 
 
 class CDCModel(nn.Module):
-    """Self-guided upsampling module (reference ``cdc_utils.py:105-174``)."""
+    """Self-guided upsampling module (reference ``cdc_utils.py:105-174``).
+
+    ``fast=True`` (serving, eval-only, same params): the densely-connected
+    estimator runs as one banded fused Pallas chain
+    (``fused_convs_pool(concat=...)``) instead of 6 separate convs; grids
+    shorter than the 6-row conv halo fall back to the standard modules."""
+
+    fast: bool = False
+    fast_dtype: str = "float32"
+
+    def _fast_estimator(self, feat):
+        from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+
+        Hl = feat.shape[1]
+        n = 6
+        if Hl < n or self.is_initializing():
+            return None
+        de = self.variables["params"]["dense_estimator_mask"]
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        ks = [f32(de[f"conv{i}"]["0"]["kernel"]) for i in range(1, 6)]
+        bs = [f32(de[f"conv{i}"]["0"]["bias"]) for i in range(1, 6)]
+        ks.append(f32(de["conv_last_0"]["kernel"]))
+        bs.append(f32(de["conv_last_0"]["bias"]))
+        tr = next((d for d in (8, 12, 16) if Hl % d == 0), Hl)
+        cdt = (
+            jnp.bfloat16
+            if self.fast_dtype in ("bf16", "bfloat16")
+            else jnp.float32
+        )
+        out, _ = fused_convs_pool(
+            feat, ks, bs, pool=None, tile_rows=tr, variant="taps",
+            relus=(True,) * 5 + (False,), concat=(True,) * 5 + (False,),
+            compute_dtype=cdt,
+        )
+        return out
 
     @nn.compact
     def __call__(self, flow_init, feature_1, feature_2):
@@ -62,7 +96,9 @@ class CDCModel(nn.Module):
             flow_init = upsample2d_flow_as(flow_init, (fh, fw), if_rate=True)
         feature_2_warp = backwarp_masked(feature_2, flow_init)
         feat = jnp.concatenate([feature_1, feature_2_warp], axis=-1)
-        _, x_out = FlowEstimatorDense(name="dense_estimator_mask")(feat)
+        x_out = self._fast_estimator(feat) if self.fast else None
+        if x_out is None:
+            _, x_out = FlowEstimatorDense(name="dense_estimator_mask")(feat)
         inter_flow = x_out[..., :2]
         inter_mask = nn.sigmoid(x_out[..., 2:3])
         flow_up = backwarp(flow_init, inter_flow) * (1 - inter_mask) + (
@@ -134,10 +170,13 @@ class EEMFlowPlus(nn.Module):
     # ops/pallas/{fused_convs,coarse_head}.py): fast_pyramid fuses each
     # level's stride-1 convs, fast_decoders runs every level's 7-conv
     # decoder as one banded Pallas chain (grouped convs dense-ified,
-    # shuffles folded into weight perms).  fast_dtype="bf16" casts the
-    # matmul operands (fp32 accumulation) — tolerance-tested.
+    # shuffles folded into weight perms), fast_sgu runs the shared SGU
+    # dense estimator as one concat-chain Pallas pass (sgu variant only).
+    # fast_dtype="bf16" casts the matmul operands (fp32 accumulation) —
+    # tolerance-tested.
     fast_pyramid: bool = False
     fast_decoders: bool = False
+    fast_sgu: bool = False
     fast_dtype: str = "float32"
 
     def _fast_on(self, train):
@@ -226,7 +265,11 @@ class EEMFlowPlus(nn.Module):
         idx = tuple(self.corr_indices)
         md = self.max_displacement
         cdc_cls = CDCModel if self.cdc_variant == "sgu" else CDCCFPModel
-        cdc = cdc_cls(name="cdc_model")
+        if cdc_cls is CDCModel and self.fast_sgu and self._fast_on(train):
+            cdc = CDCModel(name="cdc_model", fast=True,
+                           fast_dtype=self.fast_dtype)
+        else:
+            cdc = cdc_cls(name="cdc_model")
 
         # conv + LeakyReLU(0.1): the reference builds these with cdc_utils.conv
         # whose isReLU defaults to True (cdc_utils.py:9-30)

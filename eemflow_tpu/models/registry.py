@@ -65,6 +65,24 @@ def get_eval_model(name: str, **kwargs):
     return ctor(**kwargs)
 
 
+# parity-safe fused serving modes per family (f32 math, same params,
+# equal to the standard path to fp noise — safe for checkpoint-parity
+# evaluation).  Deliberately excludes corr_fast / bf16 fast dtypes, which
+# perturb results beyond fp noise and stay opt-in.
+FAST_EVAL_KWARGS = {
+    "eemflow": {"fast_head": True, "fast_pyramid": True},
+    "eemflow_plus": {"fast_pyramid": True, "fast_decoders": True,
+                     "fast_sgu": True},
+}
+
+
+def fast_eval_kwargs(name: str) -> dict:
+    """Model-ctor kwargs enabling every parity-safe fused serving mode the
+    family has (empty for families without one — the CLIs' ``--fast``
+    umbrella flag)."""
+    return dict(FAST_EVAL_KWARGS.get(ALIASES.get(name, name), {}))
+
+
 # every model the framework ships (reference CLI registry breadth,
 # train_EEMFlow_HREM.py:30-55 + per-family engines).  Imports are NOT
 # guarded: a broken model module must fail loudly, not vanish from the

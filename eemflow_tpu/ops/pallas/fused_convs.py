@@ -56,6 +56,7 @@ def _kernel(
     compute_dtype,
     variant: str,
     relus: Tuple[bool, ...],
+    concat: Tuple[bool, ...],
     *refs,
 ):
     prev_ref, cur_ref, next_ref = refs[0], refs[1], refs[2]
@@ -128,7 +129,17 @@ def _kernel(
         if mm > 0:
             colix = jax.lax.broadcasted_iota(jnp.int32, y.shape[:2], 1)
             keep = keep & (colix >= mm) & (colix < Wp - 2 - mm)
-        plane = jnp.where(keep[:, :, None], y, 0.0)
+        y = jnp.where(keep[:, :, None], y, 0.0)
+        if concat[j]:
+            # densely-connected chain (reference FlowEstimatorDense):
+            # next conv consumes [y, previous buffer].  The carried
+            # center slice is already zero outside the image (initial
+            # jnp.pad margins + this same mask on earlier convs), so the
+            # concat stays consistent with zero-pad semantics.
+            carry = jax.lax.slice(plane, (1, 1, 0), (R - 1, Wp - 1, C))
+            plane = jnp.concatenate([y, carry], axis=-1)
+        else:
+            plane = y
 
     # plane is now exactly rows [i*tile_rows, (i+1)*tile_rows) × W × C
     if emit_full:
@@ -150,6 +161,7 @@ def fused_convs_pool(
     emit_full: bool = True,
     variant: str = "im2col",
     relus: Sequence[bool] | None = None,
+    concat: Sequence[bool] | None = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array | None, jax.Array | None]:
     """Run a chain of 3×3 pad-1 convs (LeakyReLU 0.1 per `relus`, default
@@ -159,13 +171,21 @@ def fused_convs_pool(
     (Cin_{i+1} == Cout_i; Cin_0 == C).  Returns (full-res output or
     None, pooled (B, H/pool, W/pool, Cout) or None), fp32.
 
+    ``concat[i]=True`` makes conv i densely connected: the next conv's
+    input is [out_i, in_i] (reference ``cdc_utils.py:109-145``
+    FlowEstimatorDense), so Cin_{i+1} = Cout_i + Cin_i.
+
     For wide rows or deep chains prefer ``variant="taps"`` — the im2col
     matrix (rows·cols × 9·Cin) can exceed VMEM where the 9 accumulated
     tap dots cannot.
     """
     B, H, W, C = x.shape
     n = len(kernels)
-    chain = [C] + [k.shape[3] for k in kernels]
+    concat = tuple(concat) if concat is not None else (False,) * n
+    assert len(concat) == n
+    chain = [C]
+    for i, k in enumerate(kernels):
+        chain.append(k.shape[3] + (chain[i] if concat[i] else 0))
     assert n >= 1 and all(
         k.shape[:3] == (3, 3, chain[i]) for i, k in enumerate(kernels)
     ), [k.shape for k in kernels]
@@ -224,7 +244,7 @@ def fused_convs_pool(
 
     res = pl.pallas_call(
         functools.partial(_kernel, n, tr, H, W, pool, emit_full,
-                          compute_dtype, variant, relus),
+                          compute_dtype, variant, relus, concat),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=out_specs,

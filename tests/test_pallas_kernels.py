@@ -196,6 +196,51 @@ def test_eemflow_fast_pyramid_interpret(monkeypatch):
     assert d < 0.05, f"bf16 fast pyramid drifted {d}"
 
 
+def test_fused_convs_dense_concat_chain(monkeypatch):
+    """concat=True chain (interpret mode) == the reference
+    FlowEstimatorDense pattern: each conv's output is prepended to its
+    input before the next conv; final conv linear, consuming the full
+    buffer."""
+    _interp_fused_convs(monkeypatch)
+    from eemflow_tpu.models.layers import leaky_relu01
+    from eemflow_tpu.ops.pallas.fused_convs import fused_convs_pool
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 24, 40, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    fch = (8, 8, 4)
+    cins = []
+    ks, bs = [], []
+    cin = C
+    for f in fch:
+        cins.append(cin)
+        ks.append(jnp.asarray(
+            rng.standard_normal((3, 3, cin, f)) * 0.3, jnp.float32))
+        bs.append(jnp.asarray(rng.standard_normal((f,)) * 0.3, jnp.float32))
+        cin += f
+    ks.append(jnp.asarray(
+        rng.standard_normal((3, 3, cin, 3)) * 0.3, jnp.float32))
+    bs.append(jnp.asarray(rng.standard_normal((3,)) * 0.3, jnp.float32))
+
+    conv = lambda v, k, b: jax.lax.conv_general_dilated(
+        v, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    ref = x
+    for k, b in zip(ks[:-1], bs[:-1]):
+        ref = jnp.concatenate([leaky_relu01(conv(ref, k, b)), ref], axis=-1)
+    ref = conv(ref, ks[-1], bs[-1])
+
+    for variant in ("im2col", "taps"):
+        got, _ = fused_convs_pool(
+            x, ks, bs, pool=None, tile_rows=8, variant=variant,
+            relus=(True,) * 3 + (False,), concat=(True,) * 3 + (False,),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4
+        )
+
+
 def test_eemflow_plus_fast_modes_interpret(monkeypatch):
     """EEMFlowPlus(fast_pyramid/fast_decoders) (interpret mode) matches the
     standard coarse-to-fine forward on the same params; the fused decoder
@@ -211,16 +256,17 @@ def test_eemflow_plus_fast_modes_interpret(monkeypatch):
     m = EEMFlowPlus()
     params = m.init(jax.random.PRNGKey(0), ev1, ev2)
     _, refs = m.apply(params, ev1, ev2)
-    _, gots = EEMFlowPlus(fast_pyramid=True, fast_decoders=True).apply(
-        params, ev1, ev2
-    )
+    _, gots = EEMFlowPlus(
+        fast_pyramid=True, fast_decoders=True, fast_sgu=True
+    ).apply(params, ev1, ev2)
     assert len(gots) == len(refs)
     for ref, got in zip(refs, gots):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
     _, gotsb = EEMFlowPlus(
-        fast_pyramid=True, fast_decoders=True, fast_dtype="bf16"
+        fast_pyramid=True, fast_decoders=True, fast_sgu=True,
+        fast_dtype="bf16"
     ).apply(params, ev1, ev2)
     # bf16 serving tolerance: mean drift relative to mean flow magnitude.
     # Max-drift is dominated by isolated warp-sample boundary crossings in

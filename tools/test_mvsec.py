@@ -57,6 +57,14 @@ def main() -> None:
                    help="eemflow_plus: fused banded Pallas decoder chains "
                    "(f32 math, parity to fp noise — safe for checkpoint "
                    "evals)")
+    p.add_argument("--fast_sgu", action="store_true",
+                   help="eemflow_plus: fused SGU dense-estimator concat "
+                   "chain (f32 math, parity to fp noise — safe for "
+                   "checkpoint evals)")
+    p.add_argument("--fast", action="store_true",
+                   help="enable every parity-safe fused serving mode the "
+                   "model family has (registry.fast_eval_kwargs; no-op "
+                   "for families without one)")
     args = p.parse_args()
 
     import jax
@@ -83,6 +91,12 @@ def main() -> None:
         model_kwargs["fast_pyramid"] = True
     if args.fast_decoders:
         model_kwargs["fast_decoders"] = True
+    if args.fast_sgu:
+        model_kwargs["fast_sgu"] = True
+    if args.fast:
+        from eemflow_tpu.models import fast_eval_kwargs
+
+        model_kwargs.update(fast_eval_kwargs(args.model))
     model = get_eval_model(args.model, **model_kwargs)
 
     if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):

@@ -61,6 +61,14 @@ def main() -> None:
                    "grouped decoder as one banded fused Pallas chain "
                    "(shuffles folded into weight perms; f32 math, parity "
                    "to fp noise; coarsest sub-halo grids fall back)")
+    p.add_argument("--fast_sgu", action="store_true",
+                   help="eemflow_plus serving mode: the shared SGU dense "
+                   "estimator (5 concat-growing convs + linear head) as "
+                   "one fused Pallas concat chain per level (f32 math, "
+                   "parity to fp noise)")
+    p.add_argument("--fast", action="store_true",
+                   help="enable every parity-safe fused serving mode the "
+                   "model family has (registry.fast_eval_kwargs)")
     args = p.parse_args()
 
     import jax
@@ -92,6 +100,12 @@ def main() -> None:
             extra["fast_dtype" if plus else "fast_pyramid_dtype"] = "bf16"
     if args.fast_decoders:
         extra["fast_decoders"] = True
+    if args.fast_sgu:
+        extra["fast_sgu"] = True
+    if args.fast:
+        from eemflow_tpu.models import fast_eval_kwargs
+
+        extra.update(fast_eval_kwargs(args.model))
     model = get_eval_model(args.model, **extra)
     rng = np.random.default_rng(0)
     bufs = tuple(
