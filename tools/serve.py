@@ -1,0 +1,236 @@
+"""Sustained serving CLI: raw event ``.npz`` pairs → optical flow, steady
+state, double-buffered.
+
+The production deployment shape the bench measures
+(``bench._serving_sustained``), exposed as a drivable surface: a host
+thread decodes + bucket-packs sample i+1 (native C++ packer,
+``eemflow_tpu.native``) while the device runs the fused
+voxelize→forward program on sample i.  The reference's nearest analog
+is the ``demo()``/``time_eval()`` harness inside the model file
+(``model/EEMFlow/EEMFlow.py:185-231``), which times random tensors and
+writes nothing; this CLI serves real files end-to-end.
+
+Input layout: ``--data_root`` is scanned recursively for sample dirs
+containing ``events1.npz`` + ``events2.npz`` (the HREM test layout,
+``loader/HREM.py:171-189``).  Output: ``<out_dir>/<sample>.flo``
+(+ ``.png`` flow visualization with ``--viz``).
+
+Through the axon remote tunnel the per-frame H2D feed and result fetch
+measure network RTT, not the chip — the report separates host-decode,
+dispatch, and wall legs so the chip-side rate is still readable; on a
+co-located TPU VM wall fps ≈ device fps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def find_samples(root):
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        fs = set(filenames)
+        if "events1.npz" in fs and "events2.npz" in fs:
+            out.append(dirpath)
+    return sorted(out)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("-model", "--model", default="eemflow")
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth.tar (converted on load) or orbax dir; "
+                   "omitted = random init (pipeline smoke only)")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--size", type=int, nargs=2, default=[720, 1280],
+                   metavar=("H", "W"))
+    p.add_argument("--bins", type=int, default=5)
+    p.add_argument("--bucket_size", type=int, default=1 << 16)
+    p.add_argument("--batch", type=int, default=1,
+                   help="samples per fused forward")
+    p.add_argument("--loops", type=int, default=1,
+                   help="passes over the sample list (steady-state timing)")
+    p.add_argument("--warmup", type=int, default=1,
+                   help="untimed leading samples (compile + cache warm)")
+    p.add_argument("--fast", action="store_true",
+                   help="every parity-safe fused serving mode the family "
+                   "has (registry.fast_eval_kwargs)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 params+volumes (not checkpoint-parity)")
+    p.add_argument("--out_dir", default=None,
+                   help="write <sample>.flo final flows here")
+    p.add_argument("--viz", action="store_true",
+                   help="also write flow-colorwheel PNGs (needs --out_dir)")
+    args = p.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.data.loader import prefetch
+    from eemflow_tpu.models import fast_eval_kwargs, get_eval_model
+    from eemflow_tpu.native import decode_pack_npz
+    from eemflow_tpu.train.trainer import cast_floating
+
+    H, W = args.size
+    B = args.batch
+    samples = find_samples(args.data_root)
+    if not samples:
+        raise SystemExit(f"no events1.npz/events2.npz pairs under "
+                         f"{args.data_root}")
+
+    kwargs = fast_eval_kwargs(args.model) if args.fast else {}
+    model = get_eval_model(args.model, **kwargs)
+    pre = make_device_preprocess(args.bins, H, W)
+
+    def apply_fn(v, ev1, ev2, n1, n2):
+        batch = pre({"events_old": ev1, "events_new": ev2,
+                     "n_old": n1, "n_new": n2})
+        vol1, vol2 = batch["event_volume_old"], batch["event_volume_new"]
+        if args.bf16:
+            vol1, vol2 = vol1.astype(jnp.bfloat16), vol2.astype(jnp.bfloat16)
+        _, preds = model.apply(v, vol1, vol2)
+        return preds[-1].astype(jnp.float32)
+
+    step = jax.jit(apply_fn)
+
+    # ---- params ----
+    rng0 = np.random.default_rng(0)
+    d_ev = jnp.asarray(
+        rng0.standard_normal((B, args.bucket_size, 4)), jnp.float32
+    )
+    d_n = jnp.full((B,), 16, jnp.int32)
+    if args.checkpoint and args.checkpoint.endswith((".pth", ".pth.tar",
+                                                     ".pt")):
+        from eemflow_tpu.compat.torch_loader import (
+            convert_for_model,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.checkpoint)
+        sd = {k: v for k, v in sd.items() if k != "index"}
+        variables = convert_for_model(args.model, sd)
+    elif args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        target = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), *[
+                jnp.zeros((B, H, W, args.bins), jnp.float32)] * 2)
+        )
+        variables = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.checkpoint), target
+        )
+    else:
+        print("WARNING: no --checkpoint; serving random-init weights",
+              flush=True)
+        variables = model.init(jax.random.PRNGKey(0), *[
+            jnp.zeros((B, H, W, args.bins), jnp.float32)] * 2)
+    if args.bf16:
+        variables = cast_floating(variables, jnp.bfloat16)
+
+    # ---- host decode pipeline (runs in the prefetch thread) ----
+    order = samples * args.loops
+
+    def decode_iter():
+        t_host = 0.0
+        for i in range(0, len(order) - len(order) % B, B):
+            group = order[i : i + B]
+            t0 = time.perf_counter()
+            evs, ns = [], []
+            for s in group:
+                pair = []
+                for f in ("events1.npz", "events2.npz"):
+                    with np.load(os.path.join(s, f)) as npz:
+                        pair.append(decode_pack_npz(npz, args.bucket_size))
+                evs.append((pair[0][0], pair[1][0]))
+                ns.append((pair[0][1], pair[1][1]))
+            ev1 = np.stack([e[0] for e in evs])
+            ev2 = np.stack([e[1] for e in evs])
+            n1 = np.asarray([n[0] for n in ns], np.int32)
+            n2 = np.asarray([n[1] for n in ns], np.int32)
+            t_host += time.perf_counter() - t0
+            yield group, ev1, ev2, n1, n2, t_host
+
+    os.makedirs(args.out_dir, exist_ok=True) if args.out_dir else None
+
+    n_frames = 0
+    t_wall0 = time.perf_counter() if args.warmup == 0 else None
+    t_host_base = 0.0
+    t_dispatch = 0.0
+    t_host_total = 0.0
+    pending = None  # (group, device result) — overlap fetch with dispatch
+
+    def drain(item):
+        nonlocal n_frames
+        group, flow_dev = item
+        flow = np.asarray(flow_dev)  # sync point
+        n_frames += len(group)
+        if args.out_dir:
+            from eemflow_tpu.events.io import write_flo
+
+            for s, fl in zip(group, flow):
+                name = os.path.relpath(s, args.data_root).replace(
+                    os.sep, "_"
+                )
+                write_flo(fl, os.path.join(args.out_dir, name + ".flo"))
+                if args.viz:
+                    import cv2
+
+                    from eemflow_tpu.viz.flow_viz import flow_to_image
+
+                    cv2.imwrite(
+                        os.path.join(args.out_dir, name + ".png"),
+                        flow_to_image(fl)[:, :, ::-1],
+                    )
+
+    done_warm = 0
+    for group, ev1, ev2, n1, n2, t_host_total in prefetch(decode_iter(),
+                                                          depth=2):
+        t0 = time.perf_counter()
+        flow_dev = step(variables, jnp.asarray(ev1), jnp.asarray(ev2),
+                        jnp.asarray(n1), jnp.asarray(n2))
+        t_dispatch += time.perf_counter() - t0
+        if pending is not None:
+            drain(pending)
+        pending = (group, flow_dev)
+        if done_warm < args.warmup:
+            # reset clocks after the compile/warmup batches
+            done_warm += 1
+            if done_warm == args.warmup:
+                drain(pending)
+                pending = None
+                n_frames = 0
+                t_dispatch = 0.0
+                t_wall0 = time.perf_counter()
+                t_host_base = t_host_total
+    if pending is not None:
+        drain(pending)
+
+    if t_wall0 is None or n_frames == 0:
+        raise SystemExit("not enough samples past warmup to time; "
+                         "lower --warmup or add --loops")
+    wall = time.perf_counter() - t_wall0
+    host_ms = (t_host_total - t_host_base) * 1e3 / max(n_frames, 1)
+    print(
+        f"{args.model} serve @{H}x{W} b={B}"
+        f"{' fast' if args.fast else ''}{' bf16' if args.bf16 else ''}: "
+        f"{n_frames} frames in {wall:.2f}s = {n_frames / wall:.1f} fps wall "
+        f"(host decode {host_ms:.2f} ms/frame, "
+        f"dispatch {t_dispatch * 1e3 / n_frames:.2f} ms/frame, "
+        f"{jax.devices()[0].device_kind})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
