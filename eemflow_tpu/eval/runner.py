@@ -46,11 +46,22 @@ class Tester:
         family="two_volume",
         preprocess=None,
         mixed_precision: bool = False,
+        mesh=None,
     ):
         from eemflow_tpu.train.adapters import get_family
         from eemflow_tpu.train.trainer import cast_floating
 
         self.model = model
+        self._mesh = mesh
+        if mesh is not None:
+            # sharded eval: replicate params across the mesh once; batched
+            # inputs are placed batch-sharded in _dispatch_many and XLA
+            # SPMD-partitions the forward (exceeds the reference, whose
+            # eval is single-GPU even under DataParallel training —
+            # test_EEMFlow_HREM.py:63-66 unwraps to one device)
+            from eemflow_tpu.parallel.mesh import replicated_sharding
+
+            variables = jax.device_put(variables, replicated_sharding(mesh))
         self.variables = variables
         self.logger = logger
         self.save_path = save_path
@@ -121,6 +132,14 @@ class Tester:
             for k, v in batch.items()
             if k in _INPUT_KEYS and v is not None
         }
+        if self._mesh is not None:
+            from eemflow_tpu.parallel.mesh import batch_sharding
+
+            n_data = self._mesh.shape["data"]
+            if len(samples) % n_data == 0:
+                shard = batch_sharding(self._mesh)
+                batch = {k: jax.device_put(v, shard)
+                         for k, v in batch.items()}
         return self._fwd(self.variables, batch)
 
     def test_sequence(

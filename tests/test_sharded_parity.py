@@ -180,5 +180,57 @@ def test_sharded_eval_forward_matches_single_device():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_tester_sharded_eval_matches_unsharded():
+    """Tester(mesh=...) — the eval CLIs' --shard_eval surface — places
+    batched forwards data-sharded across the mesh and must reproduce the
+    unsharded per-sample metrics exactly (incl. the non-divisible tail
+    chunk, which stays unsharded)."""
+    import flax.linen as nn
+
+    from eemflow_tpu.eval.runner import Tester
+
+    class TinyModel(nn.Module):
+        @nn.compact
+        def __call__(self, e1, e2, train=False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(
+                jnp.concatenate([e1, e2], -1)
+            )
+            flow = nn.Conv(2, (3, 3), padding="SAME")(nn.relu(x))
+            return (e1, e2), [flow]
+
+    class DS:
+        evaluation_type = "dense"
+
+        def __len__(self):
+            return 9  # 4+4+1: two sharded chunks + unsharded tail
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(200 + i)
+            return {
+                "event_volume_old":
+                    rng.standard_normal((16, 16, 5)).astype(np.float32),
+                "event_volume_new":
+                    rng.standard_normal((16, 16, 5)).astype(np.float32),
+                "flow": rng.standard_normal((16, 16, 2)).astype(np.float32),
+                "event_valid": np.ones((16, 16, 1), np.float32),
+            }
+
+    model = TinyModel()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 5)), jnp.zeros((1, 16, 16, 5)),
+    )
+    ref = Tester(model, variables).test_sequence(DS(), batch_size=4)
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    got = Tester(model, variables, mesh=mesh).test_sequence(
+        DS(), batch_size=4
+    )
+    np.testing.assert_allclose(got["AEE"], ref["AEE"], rtol=1e-6)
+    np.testing.assert_allclose(
+        got["pct3_outlier"], ref["pct3_outlier"], rtol=1e-6
+    )
+    assert got["n_samples"] == ref["n_samples"] == 9
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

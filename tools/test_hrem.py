@@ -66,6 +66,11 @@ def main() -> None:
                    help="enable every parity-safe fused serving mode the "
                    "model family has (registry.fast_eval_kwargs; no-op "
                    "for families without one)")
+    p.add_argument("--shard_eval", action="store_true",
+                   help="shard batched eval forwards over all local "
+                   "devices (data-parallel mesh; requires --eval_batch "
+                   "divisible by the device count; per-sample metrics "
+                   "unchanged)")
     args = p.parse_args()
 
     import jax
@@ -135,9 +140,14 @@ def main() -> None:
 
     save_path = os.path.join(args.save_dir, f"{args.model}_{args.event_interval}")
     logger = Logger(save_path)
+    mesh = None
+    if args.shard_eval:
+        from eemflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     tester = Tester(
         model, variables, logger=logger, save_path=save_path, save_csv=args.save_csv,
-        family=get_family(args.model), preprocess=preprocess,
+        family=get_family(args.model), preprocess=preprocess, mesh=mesh,
     )
     seqs = [s for s in HREM_SEQUENCES if s in getattr(dataset, "nori_list", {})]
     if args.mode == "standard":

@@ -65,6 +65,11 @@ def main() -> None:
                    help="enable every parity-safe fused serving mode the "
                    "model family has (registry.fast_eval_kwargs; no-op "
                    "for families without one)")
+    p.add_argument("--shard_eval", action="store_true",
+                   help="shard batched eval forwards over all local "
+                   "devices (data-parallel mesh; requires --eval_batch "
+                   "divisible by the device count; per-sample metrics "
+                   "unchanged)")
     args = p.parse_args()
 
     import jax
@@ -144,10 +149,15 @@ def main() -> None:
         args.save_dir, f"{args.model}_{args.event_interval}_{args.sequence}"
     )
     logger = Logger(save_path)
+    mesh = None
+    if args.shard_eval:
+        from eemflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     tester = Tester(
         model, variables, logger=logger, save_path=save_path,
         save_csv=args.save_csv, is_car=is_car,
-        family=family, preprocess=preprocess,
+        family=family, preprocess=preprocess, mesh=mesh,
     )
     if args.mode == "standard":
         res = tester.test_sequence(dataset, stride=args.stride,
