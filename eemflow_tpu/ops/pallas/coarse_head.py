@@ -330,4 +330,7 @@ def coarse_head(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, h, w, 2), jnp.float32),
+        # CPU backend has no Mosaic path — interpret keeps the fast modes
+        # functional (slow) there, so --fast CLIs work off-TPU
+        interpret=jax.default_backend() == "cpu",
     )(*args)

@@ -249,7 +249,9 @@ def fused_convs_pool(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        interpret=interpret,
+        # CPU backend has no Mosaic path — interpret keeps the fast modes
+        # functional (slow) there, so --fast CLIs work off-TPU
+        interpret=interpret or jax.default_backend() == "cpu",
     )(x, x, x, *ws, *bs)
     full = res[0] if emit_full else None
     pooled = res[-1] if pool is not None else None

@@ -35,6 +35,9 @@ def main() -> None:
                    help="RAFT-lineage serving mode (implies --eval)")
     p.add_argument("--fast_head", action="store_true",
                    help="EEMFlow fused Pallas coarse head (implies --eval)")
+    p.add_argument("--fast", action="store_true",
+                   help="every parity-safe fused serving mode the family "
+                   "has (registry.fast_eval_kwargs; implies --eval)")
     args = p.parse_args()
 
     import jax
@@ -50,12 +53,16 @@ def main() -> None:
     from eemflow_tpu.models.registry import get_eval_model
 
     h, w = args.size
-    if args.eval or args.corr_fast or args.fast_head:
+    if args.eval or args.corr_fast or args.fast_head or args.fast:
         extra = {}
         if args.corr_fast:
             extra["corr_fast"] = True
         if args.fast_head:
             extra["fast_head"] = True
+        if args.fast:
+            from eemflow_tpu.models import fast_eval_kwargs
+
+            extra.update(fast_eval_kwargs(args.model))
         model = get_eval_model(args.model, **extra)
     else:
         model = get_model(args.model)
