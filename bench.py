@@ -437,6 +437,19 @@ def main() -> None:
         efapply = lambda v, a, b: emf.apply(v, a, b)[1][-1]
         dtef = _fwd_throughput(efapply, ev_var, ebufs, 1, 9)
         extra["eraft_fwd_fast_fps_512x960_b1"] = round(1.0 / dtef, 2)
+
+        # + fused update block (two banded Pallas kernels per iteration,
+        # f32 math — the SURVEY north-star fusion; A/B candidate)
+        try:
+            emu = ERAFT(upsample_all=False, corr_fast=True,
+                        fused_update=True)
+            euapply = lambda v, a, b: emu.apply(v, a, b)[1][-1]
+            dteu = _fwd_throughput(euapply, ev_var, ebufs, 1, 9)
+            extra["eraft_fwd_fused_update_fps_512x960_b1"] = round(
+                1.0 / dteu, 2
+            )
+        except Exception as e:
+            extra["eraft_fused_update_error"] = repr(e)[:120]
     except Exception as e:  # keep the headline alive on partial failure
         extra["eraft_error"] = repr(e)[:120]
 

@@ -58,6 +58,14 @@ class ERAFT(nn.Module):
     # triples the contraction's data volume and the lookup is bandwidth-
     # bound (docs/PERF.md).  Kept as the recorded experiment; leave False.
     stacked_lookup: bool = False
+    # eval-only: run the per-iteration update block (motion encoder + both
+    # SepConvGRU stages + flow head) as two banded Pallas kernels
+    # (ops/pallas/update_block.py) — the SURVEY §7 north-star fusion.
+    # f32 math, parity to fp noise; requires upsample_all=False (the mask
+    # head runs once on the final net).  fused_dtype="bf16" casts the
+    # matmul operands (fp32 accumulation).
+    fused_update: bool = False
+    fused_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -100,10 +108,25 @@ class ERAFT(nn.Module):
         update_block = BasicUpdateBlock(
             self.hidden_dim, self.corr_levels, self.corr_radius, name="update_block"
         )
+        fused_apply = None
+        if (self.fused_update and not train and not self.is_initializing()
+                and not self.upsample_all):
+            from eemflow_tpu.ops.pallas.update_block import (
+                make_fused_update,
+                tiles_ok,
+            )
+
+            if tiles_ok(h8):
+                cdt = (jnp.bfloat16
+                       if self.fused_dtype in ("bf16", "bfloat16")
+                       else jnp.float32)
+                fused_apply = make_fused_update(
+                    self.variables["params"]["update_block"], cdt
+                )
         flows = raft_refine(
             update_block, pyramid, net, inp, coords0, coords1, n_iters,
             self.corr_radius, upsample_all=self.upsample_all,
-            stacked_lookup=self.stacked_lookup,
+            stacked_lookup=self.stacked_lookup, fused_apply=fused_apply,
         )
         # flows: [iters, B, Hp, Wp, 2] → unpad all iterations at once
         flows = padder.unpad(flows)
@@ -111,7 +134,8 @@ class ERAFT(nn.Module):
 
 
 def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
-                radius, upsample_all: bool = True, stacked_lookup: bool = False):
+                radius, upsample_all: bool = True,
+                stacked_lookup: bool = False, fused_apply=None):
     """The shared RAFT refinement loop as one ``nn.scan`` — corr lookup,
     update block, convex upsample per iteration, weights broadcast.  Returns
     stacked upsampled predictions [iters, B, 8h, 8w, 2].
@@ -149,20 +173,44 @@ def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
         def lookup(coords):
             return lookup_corr_pyramid(pyramid, coords, radius)
 
+    if fused_apply is not None:
+        # fused update block (no params created in-body → plain lax.scan);
+        # the mask head runs once on the final net below
+        assert not upsample_all
+
+        def fused_body(carry, _):
+            net_c, c1 = carry
+            c1 = jax.lax.stop_gradient(c1)
+            corr = lookup(c1).astype(jnp.float32)
+            flow = (c1 - coords0).astype(jnp.float32)
+            net_c, delta = fused_apply(net_c.astype(jnp.float32), inp,
+                                       corr, flow)
+            return (net_c, c1 + delta.astype(c1.dtype)), None
+
+        (net, coords1), _ = jax.lax.scan(
+            fused_body, (net.astype(jnp.float32), coords1), None,
+            length=n_iters,
+        )
+        up_mask = update_block.mask(net)
+        return convex_upsample_flow(coords1 - coords0, up_mask)[None]
+
     def body(mdl, carry, _):
-        net, coords1, _ = carry
+        net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
         # corr values are looked up in fp32 (parity-sensitive); the GRU runs
         # at the carry dtype so bf16 mixed precision stays bf16 in-loop
         corr = lookup(coords1).astype(net.dtype)
         flow = (coords1 - coords0).astype(net.dtype)
-        net, up_mask, delta_flow = mdl(net, inp, corr, flow)
+        # eval-throughput mode: the convex-upsample mask head (~30% of the
+        # update block's conv FLOPs) is deferred to the final net below
+        net, up_mask, delta_flow = mdl(net, inp, corr, flow,
+                                       compute_mask=upsample_all)
         coords1 = coords1 + delta_flow.astype(coords1.dtype)
         if upsample_all:
             flow_up = convex_upsample_flow(coords1 - coords0, up_mask)
         else:
             flow_up = None
-        return (net, coords1, up_mask), flow_up
+        return (net, coords1), flow_up
 
     scan = nn.scan(
         body,
@@ -170,9 +218,8 @@ def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
         split_rngs={"params": False},
         length=n_iters,
     )
-    B, h, w, _ = coords0.shape
-    mask0 = jnp.zeros((B, h, w, 64 * 9), net.dtype)  # convex-upsample logits
-    (_, coords1, up_mask), flows = scan(update_block, (net, coords1, mask0), None)
+    (net, coords1), flows = scan(update_block, (net, coords1), None)
     if not upsample_all:
+        up_mask = update_block.mask(net)
         flows = convex_upsample_flow(coords1 - coords0, up_mask)[None]
     return flows

@@ -132,18 +132,30 @@ class BasicMotionEncoder(nn.Module):
 
 
 class BasicUpdateBlock(nn.Module):
+    """setup-style so the convex-upsample mask head is separately callable:
+    in eval-throughput mode (``raft_refine(upsample_all=False)``) the mask
+    — ~30% of the update block's conv FLOPs — runs ONCE on the final net
+    instead of inside every scan iteration (bit-identical final flow; the
+    reference computes it every iteration, ``model/update.py:97-106``)."""
+
     hidden_dim: int = 128
     corr_levels: int = 4
     corr_radius: int = 4
 
-    @nn.compact
-    def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, name="encoder")(
-            flow, corr
-        )
+    def setup(self):
+        self.encoder = BasicMotionEncoder(self.corr_levels, self.corr_radius)
+        self.gru = SepConvGRU(self.hidden_dim)
+        self.flow_head = FlowHead(256)
+        self.mask_0 = conv2d(self.hidden_dim * 2, 3, 1, 1)
+        self.mask_2 = conv2d(64 * 9, 1, 1, 0)
+
+    def mask(self, net):
+        return 0.25 * self.mask_2(nn.relu(self.mask_0(net)))
+
+    def __call__(self, net, inp, corr, flow, compute_mask: bool = True):
+        motion = self.encoder(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
-        delta_flow = FlowHead(256, name="flow_head")(net)
-        mask = conv2d(self.hidden_dim * 2, 3, 1, 1, name="mask_0")(net)
-        mask = conv2d(64 * 9, 1, 1, 0, name="mask_2")(nn.relu(mask))
-        return net, 0.25 * mask, delta_flow
+        net = self.gru(net, gru_in)
+        delta_flow = self.flow_head(net)
+        up_mask = self.mask(net) if compute_mask else None
+        return net, up_mask, delta_flow

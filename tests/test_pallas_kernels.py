@@ -279,5 +279,60 @@ def test_eemflow_plus_fast_modes_interpret(monkeypatch):
     assert d / mag < 0.03, f"bf16 fast EEMFlow+ drifted {d} ({d / mag:.1%})"
 
 
+def test_fused_update_block_matches_module():
+    """The two banded update-block kernels (interpret mode on CPU) match
+    BasicUpdateBlock exactly: motion encoder (two-branch 1×1/3×3/7×7 chain
+    + flow concat) and SepConvGRU (both gate stages) + FlowHead, incl. the
+    zero-pad re-masking that keeps σ(0)=½ gate values from leaking in at
+    the image boundary."""
+    import flax.linen as nn
+
+    from eemflow_tpu.models.raft_core import BasicUpdateBlock
+    from eemflow_tpu.ops.pallas.update_block import make_fused_update
+
+    B, H, W = 1, 24, 30
+    rng = np.random.default_rng(23)
+    net = jnp.asarray(
+        np.tanh(rng.standard_normal((B, H, W, 128))), jnp.float32
+    )
+    inp = jnp.asarray(
+        np.maximum(rng.standard_normal((B, H, W, 128)), 0), jnp.float32
+    )
+    corr = jnp.asarray(rng.standard_normal((B, H, W, 324)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32)
+
+    mdl = BasicUpdateBlock()
+    variables = mdl.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+    net_ref, _, delta_ref = mdl.apply(variables, net, inp, corr, flow)
+
+    fused = make_fused_update(variables["params"])
+    net_got, delta_got = fused(net, inp, corr, flow)
+    np.testing.assert_allclose(
+        np.asarray(net_got), np.asarray(net_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(delta_got), np.asarray(delta_ref), atol=2e-5
+    )
+
+
+def test_eraft_fused_update_matches_standard():
+    """ERAFT(fused_update=True) — the fused-update serving mode — matches
+    the standard eval forward (upsample_all=False) on the same params to
+    fp noise; the mask head runs once on the final net in both."""
+    from eemflow_tpu.models.eraft import ERAFT
+
+    rng = np.random.default_rng(31)
+    ev1 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    m = ERAFT(iters=3, upsample_all=False)
+    variables = m.init(jax.random.PRNGKey(0), ev1, ev2)
+    _, [ref] = m.apply(variables, ev1, ev2)
+    mf = ERAFT(iters=3, upsample_all=False, fused_update=True)
+    _, [got] = mf.apply(variables, ev1, ev2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

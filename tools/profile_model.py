@@ -38,6 +38,9 @@ def main() -> None:
     p.add_argument("--fast", action="store_true",
                    help="every parity-safe fused serving mode the family "
                    "has (registry.fast_eval_kwargs; implies --eval)")
+    p.add_argument("--fused_update", action="store_true",
+                   help="RAFT-lineage fused update-block serving mode "
+                   "(implies --eval)")
     args = p.parse_args()
 
     import jax
@@ -53,12 +56,15 @@ def main() -> None:
     from eemflow_tpu.models.registry import get_eval_model
 
     h, w = args.size
-    if args.eval or args.corr_fast or args.fast_head or args.fast:
+    if (args.eval or args.corr_fast or args.fast_head or args.fast
+            or args.fused_update):
         extra = {}
         if args.corr_fast:
             extra["corr_fast"] = True
         if args.fast_head:
             extra["fast_head"] = True
+        if args.fused_update:
+            extra["fused_update"] = True
         if args.fast:
             from eemflow_tpu.models import fast_eval_kwargs
 

@@ -69,6 +69,14 @@ def main() -> None:
     p.add_argument("--fast", action="store_true",
                    help="enable every parity-safe fused serving mode the "
                    "model family has (registry.fast_eval_kwargs)")
+    p.add_argument("--fused_update", action="store_true",
+                   help="RAFT-lineage serving mode: the per-iteration "
+                   "update block (motion encoder + SepConvGRU + flow "
+                   "head) as two banded Pallas kernels (f32 math, parity "
+                   "to fp noise; ops/pallas/update_block.py)")
+    p.add_argument("--fused_update_bf16", action="store_true",
+                   help="bf16 matmul operands inside the fused update "
+                   "block (fp32 accumulation; not checkpoint-parity)")
     args = p.parse_args()
 
     import jax
@@ -102,6 +110,10 @@ def main() -> None:
         extra["fast_decoders"] = True
     if args.fast_sgu:
         extra["fast_sgu"] = True
+    if args.fused_update or args.fused_update_bf16:
+        extra["fused_update"] = True
+        if args.fused_update_bf16:
+            extra["fused_dtype"] = "bf16"
     if args.fast:
         from eemflow_tpu.models import fast_eval_kwargs
 
