@@ -569,6 +569,46 @@ def main() -> None:
         t1 = _fetch_time(make_steps(2), (state, rung_batch), reps=5)
         t2 = _fetch_time(make_steps(12), (state, rung_batch), reps=5)
         extra["train_steps_per_sec_bucket_rung"] = round(10.0 / (t2 - t1), 3)
+
+        # banked-scatter A/B on the voxelizer alone (the 45-56% cost
+        # center): K bank-split scatters + sum vs the single-buffer
+        # production scatter, batch 6 @2^16 events
+        try:
+            import functools
+
+            from eemflow_tpu.events.voxel import (
+                events_to_voxel_grid,
+                events_to_voxel_grid_banked,
+            )
+
+            ev6 = tbatch["events_old"][:, : NEV >> 2]
+            n6 = jnp.minimum(tbatch["n_old"], NEV >> 2)
+
+            def vox_k(banks):
+                def f(e, n):
+                    def body(acc, i):
+                        fn = (
+                            events_to_voxel_grid
+                            if banks == 1
+                            else functools.partial(
+                                events_to_voxel_grid_banked, banks=banks
+                            )
+                        )
+                        g = jax.vmap(
+                            lambda ee, nn: fn(ee, nn, 5, TH, TW)
+                        )(e + i * 1e-9, n)
+                        return acc + g.sum(), None
+                    acc, _ = jax.lax.scan(
+                        body, 0.0, jnp.arange(8, dtype=jnp.float32)
+                    )
+                    return acc
+                return jax.jit(f)
+
+            for banks in (1, 4, 8):
+                tb1 = _fetch_time(vox_k(banks), (ev6, n6), reps=3)
+                extra[f"voxelize_banks{banks}_ms_8x"] = round(tb1 * 1e3, 2)
+        except Exception as e:
+            extra["voxel_bank_error"] = repr(e)[:120]
     except Exception as e:
         extra["train_error"] = repr(e)[:120]
 

@@ -127,6 +127,74 @@ def events_to_voxel_grid(
     return grid
 
 
+def events_to_voxel_grid_banked(
+    events: jax.Array,
+    n_valid: jax.Array,
+    num_bins: int,
+    height: int,
+    width: int,
+    banks: int = 4,
+    normalize: bool = True,
+) -> jax.Array:
+    """Bank-split scatter formulation (perf experiment, same votes).
+
+    The production scatter serializes all ~2N updates through one
+    [bins·H·W] buffer; here the event stream is split into ``banks``
+    contiguous chunks, each scattered into its own buffer (one batched
+    scatter), then summed.  If TPU scatter throughput is limited by
+    serialization on a single output buffer rather than by update count,
+    banks should trade a bins·H·W·banks reduction for parallel scatter
+    lanes.  Parity vs the production path is to fp addition reordering
+    (votes are identical; per-cell sums associate differently).
+
+    Falls back to the production path when N % banks != 0.
+    """
+    N = events.shape[0]
+    if N % banks or banks == 1:
+        return events_to_voxel_grid(events, n_valid, num_bins, height,
+                                    width, normalize)
+    idx = jnp.arange(N)
+    valid = idx < n_valid
+
+    t = events[:, 0]
+    xs = events[:, 1].astype(jnp.int32)
+    ys = events[:, 2].astype(jnp.int32)
+    pols = jnp.where(events[:, 3] == 0, -1.0, events[:, 3])
+
+    first = t[0]
+    last = t[jnp.maximum(n_valid - 1, 0)]
+    deltaT = last - first
+    deltaT = jnp.where(deltaT == 0, 1.0, deltaT)
+
+    ts = (num_bins - 1) * (t - first) / deltaT
+    tis = jnp.floor(ts)
+    tis_i = tis.astype(jnp.int32)
+    dts = ts - tis
+
+    hw = height * width
+    base = xs + ys * width
+    inb = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    valid = valid & inb
+
+    mask_l = valid & (tis < num_bins) & (tis >= 0)
+    idx_l = jnp.where(mask_l, base + tis_i * hw, 0)
+    val_l = jnp.where(mask_l, pols * (1.0 - dts), 0.0)
+    mask_r = valid & (tis + 1 < num_bins) & (tis >= 0)
+    idx_r = jnp.where(mask_r, base + (tis_i + 1) * hw, 0)
+    val_r = jnp.where(mask_r, pols * dts, 0.0)
+
+    # [banks, 2·N/banks] per-bank update streams, one batched scatter
+    all_idx = jnp.concatenate([idx_l, idx_r]).reshape(banks * 2, N // banks)
+    all_val = jnp.concatenate([val_l, val_r]).reshape(banks * 2, N // banks)
+    zeros = jnp.zeros((num_bins * hw,), jnp.float32)
+    grids = jax.vmap(lambda i, v: zeros.at[i].add(v))(all_idx, all_val)
+    grid = grids.sum(axis=0).reshape(num_bins, height, width)
+
+    if normalize:
+        grid = normalize_voxel_grid(grid)
+    return grid
+
+
 def normalize_voxel_grid(grid: jax.Array) -> jax.Array:
     """Per-nonzero mean/std normalization (sample std, ddof=1)."""
     nz = grid != 0

@@ -148,3 +148,34 @@ def test_collate_pads_mixed_buckets():
     assert (out["events_old"][0, 1024:] == 0).all()
     assert (out["events_old"][1] == 2).all()
     assert out["n_old"].tolist() == [900, 4000]
+
+
+def test_banked_scatter_matches_production():
+    """events_to_voxel_grid_banked (bank-split scatter perf experiment)
+    produces the same grid as the production single-buffer scatter, up to
+    fp addition reordering; non-divisible N falls back exactly."""
+    from eemflow_tpu.events.voxel import events_to_voxel_grid_banked
+
+    ev = make_events(4096, 64, 86)
+    padded, n, _ = pad_events(ev, 4096)
+    ref = np.asarray(
+        events_to_voxel_grid(jnp.asarray(padded), n, 5, 64, 86)
+    )
+    for banks in (2, 4, 8):
+        got = np.asarray(
+            events_to_voxel_grid_banked(
+                jnp.asarray(padded), n, 5, 64, 86, banks=banks
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    # fallback path (N % banks != 0) is bit-identical
+    padded3, n3, _ = pad_events(ev[:3000], 3001)
+    ref3 = np.asarray(
+        events_to_voxel_grid(jnp.asarray(padded3), n3, 5, 64, 86)
+    )
+    got3 = np.asarray(
+        events_to_voxel_grid_banked(
+            jnp.asarray(padded3), n3, 5, 64, 86, banks=4
+        )
+    )
+    np.testing.assert_array_equal(got3, ref3)
