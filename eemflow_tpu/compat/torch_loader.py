@@ -394,6 +394,36 @@ def filter_state_dict(
 _POS_EMB_DROP = ("att.pos_emb.",)
 
 
+def event_transformer_alias(mod_path: str) -> Optional[Tuple[str, ...]]:
+    """EventTransformer torch paths → flax paths: the score/output
+    projections live inside the shared ``attn`` submodule
+    (models/event_transformer.py _VectorAttention)."""
+    parts = mod_path.split(".")
+    if (len(parts) == 2 and parts[0] in ("lx_former", "gx_former")
+            and parts[1] in ("w_sa1", "w_sa2")):
+        return (parts[0], "attn", parts[1])
+    return None
+
+
+# dead modules in the reference transformer (constructed, never called in
+# forward — ev_transformer_batch.py:88,144)
+EVENT_TRANSFORMER_DROP = ("lx_former.layer_norm", "gx_former.layer_norm")
+
+
+def gma_rnn_alias(mod_path: str) -> Tuple[str, ...]:
+    """RAFTGMA_rnn = GMA modules + an ev_transformer submodule."""
+    if mod_path.startswith("ev_transformer."):
+        sub = mod_path[len("ev_transformer."):]
+        p = event_transformer_alias(sub)
+        return ("ev_transformer",) + (p if p else tuple(sub.split(".")))
+    return eraft_alias(mod_path)
+
+
+GMA_RNN_DROP = tuple(
+    "ev_transformer." + d for d in EVENT_TRANSFORMER_DROP
+) + ("att.pos_emb.",)
+
+
 def _model_converters():
     from eemflow_tpu.models.eemflow_plus import EEMFLOW_PLUS_DROP
     from eemflow_tpu.models.flowformer import FLOWFORMER_DROP
@@ -403,12 +433,15 @@ def _model_converters():
         "eemflow_plus": (eemflow_plus_alias, EEMFLOW_PLUS_DROP, ()),
         "eraft": (eraft_alias, (), ()),
         "gma": (eraft_alias, _POS_EMB_DROP, ()),
+        "gma_rnn": (gma_rnn_alias, GMA_RNN_DROP, ()),
         "gmflow": (gmflow_alias, (), ()),
         "gmflownet": (gmflownet_alias, (), ()),
         "flowformer": (flowformer_alias, FLOWFORMER_DROP, ()),
         "kpaflow": (digit_merge_alias, ("zero",), ()),
         "skflow": (digit_merge_alias, _POS_EMB_DROP, ()),
         "dceiflow": (eraft_alias, (), ()),
+        "event_transformer": (event_transformer_alias,
+                              EVENT_TRANSFORMER_DROP, ()),
         "steflow": (ste_alias, STE_DROP, SPIKE_TCONV_PATHS),
         "spikeflownet": (None, (), SPIKE_TCONV_PATHS),
         "spike_flownets": (None, (), SPIKE_TCONV_PATHS),

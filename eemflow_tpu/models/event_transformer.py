@@ -57,11 +57,29 @@ def farthest_point_sample(points: jax.Array, npoint: int) -> jax.Array:
         jnp.zeros((B, npoint), jnp.int32),
     )
     _, _, idxs = jax.lax.fori_loop(0, npoint, body, init)
+    # the reference extracts samples via masked_select on a 0/1 marker
+    # array (ev_transformer_batch.py:61), i.e. in ASCENDING INDEX order —
+    # not selection order.  The GX attention pairs anchors from three
+    # independent FPS runs (k-, v-, pe-space) by their m position, so the
+    # order is semantic and must match for checkpoint parity.
+    idxs = jnp.sort(idxs, axis=1)
     return jnp.take_along_axis(points, idxs[..., None], axis=1)
 
 
 class _VectorAttention(nn.Module):
-    """Subtraction-based vector attention shared by LX/GX formers."""
+    """Subtraction-based vector attention shared by LX/GX formers.
+
+    Value aggregation replicates the reference EXACTLY
+    (``ev_transformer_batch.py:113-116``): the (B,1,N,M)×(B,Cn,M,N)
+    matmul followed by a sum over the last axis collapses the values to
+    Σ_n (v_multi+pe)[b,n,m,c] BEFORE the per-position score contraction —
+    i.e. every position attends over the same sequence-summed value table
+    rather than its own M values.  Almost certainly an upstream slip (the
+    per-position form is the commented intent), but checkpoints trained
+    on it compute THIS function, so parity requires it; incidentally it
+    is also cheaper (the N×M value sum happens once).  The per-position
+    variant is one einsum away if ever wanted:
+    ``einsum("bnm,bnmc->bnc", scores, v_multi + pe)``."""
 
     C: int
     Cn: int
@@ -71,7 +89,8 @@ class _VectorAttention(nn.Module):
         # all inputs [B, N, M, Cn] (already projected), pe included in score+value
         sa = nn.Dense(1, use_bias=False, name="w_sa1")(q_multi - k_multi + pe)
         scores = jax.nn.softmax(sa[..., 0], axis=-1)  # [B, N, M]
-        attended = jnp.einsum("bnm,bnmc->bnc", scores, v_multi + pe)
+        value_table = (v_multi + pe).sum(axis=1)  # [B, M, Cn]
+        attended = jnp.einsum("bnm,bmc->bnc", scores, value_table)
         return nn.Dense(self.C, use_bias=False, name="w_sa2")(attended)
 
 
@@ -139,7 +158,10 @@ class EventTransformer(nn.Module):
         x = x + GXformer(self.C, self.Cn, self.M, name="gx_former")(x)
 
         # scatter features back to the image plane, voting by polarity
-        feat = nn.gelu(nn.LayerNorm(name="LN")(x), approximate=False)  # [B, N, C]
+        # (epsilon matches torch LayerNorm's 1e-5 for checkpoint parity)
+        feat = nn.gelu(
+            nn.LayerNorm(epsilon=1e-5, name="LN")(x), approximate=False
+        )  # [B, N, C]
         xs = jnp.floor(events[..., 0]).astype(jnp.int32)
         ys = jnp.floor(events[..., 1]).astype(jnp.int32)
         p = events[..., 3]

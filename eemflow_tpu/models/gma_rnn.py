@@ -64,20 +64,30 @@ class RAFTGMA_RNN(nn.Module):
         h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
         coords0 = coords_grid(B, h8, w8)
 
-        all_preds = []
+        # reference semantics (gma_rnn.py:115-160): the GRU state ``net``
+        # carries ACROSS segments (the "rnn"), each segment starts from the
+        # previous segment's flow scaled by (i+1)/i (constant-velocity
+        # extrapolation to the longer baseline), and only the LAST
+        # segment's iterations emit upsampled predictions.
+        preds = []
+        net = net0
+        flow_init = jnp.zeros_like(coords0)
         for s in range(1, S):
             image2 = padder.pad(images[s])[0]
             fmap2 = fnet(image2)
             pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
-            net = net0
-            coords1 = coords0
+            coords1 = coords0 + flow_init
             for _ in range(n_iters):
                 coords1 = jax.lax.stop_gradient(coords1)
                 corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius).astype(net.dtype)
                 flow = (coords1 - coords0).astype(net.dtype)
                 net, up_mask, delta = update_block(net, inp, corr, flow, attention)
                 coords1 = coords1 + delta
-                all_preds.append(
-                    padder.unpad(convex_upsample_flow(coords1 - coords0, up_mask))
-                )
-        return (images[0], images[-1]), all_preds
+                if s == S - 1:
+                    preds.append(
+                        padder.unpad(
+                            convex_upsample_flow(coords1 - coords0, up_mask)
+                        )
+                    )
+            flow_init = (coords1 - coords0) * (s + 1) / s
+        return (images[0], images[-1]), preds

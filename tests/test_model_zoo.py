@@ -333,7 +333,9 @@ def test_gma_rnn_smoke():
     )  # [B=2, S=3, N=32, 4]
     variables = model.init(jax.random.PRNGKey(0), segs)
     _, preds = jax.jit(lambda v, s: model.apply(v, s))(variables, segs)
-    assert len(preds) == 2  # (S-1) segments × 1 iter
+    # reference semantics: only the LAST segment's iterations emit
+    # predictions (gma_rnn.py:146-155) — 1 iter here
+    assert len(preds) == 1
     assert preds[-1].shape == (2, 32, 32, 2)
 
 

@@ -2808,3 +2808,203 @@ class OracleFlowNet1SIrrOccBi(nn.Module):
         occ_b = F.interpolate(oacc_b[0], (H, W), mode="bilinear",
                               align_corners=True)
         return (occ_f, occ_b), preds
+
+
+# ---------------------------------------------------------------------------
+# Event point transformer (reference model/GMA/ev_transformer_batch.py)
+# ---------------------------------------------------------------------------
+
+
+def oracle_select_nearest(vect, M):
+    """B x N x C -> B x N x M x C sliding temporal window (zero-padded;
+    reference ev_transformer_batch.py:10-19)."""
+    vp = F.pad(vect, pad=[0, 0, M // 2, M // 2 - 1, 0, 0])
+    win = vp.unfold(dimension=1, size=M, step=1)  # B x N x C x M
+    return win.permute(0, 1, 3, 2)
+
+
+def oracle_fps(event, npoint):
+    """Reference FPS (ev_transformer_batch.py:21-66): first = farthest
+    from the barycenter; extraction via 0/1-marker masked_select, i.e.
+    samples come out in ASCENDING INDEX order."""
+    B, N, C = event.shape
+    marker = torch.zeros(B, N, C, dtype=torch.long)
+    distance = torch.ones(B, N) * 1e10
+    bidx = torch.arange(B, dtype=torch.long)
+    bary = event.sum(1, keepdim=True) / event.shape[1]
+    farthest = torch.max(((event - bary) ** 2).sum(-1), 1)[1]
+    for _ in range(npoint):
+        marker[bidx, farthest, :] = 1
+        centroid = event[bidx, farthest, :].view(B, 1, C)
+        dist = ((event - centroid) ** 2).sum(-1)
+        mask = dist < distance
+        distance[mask] = dist[mask]
+        farthest = torch.max(distance, -1)[1]
+    return event.masked_select(marker > 0).view(B, npoint, C)
+
+
+class _OracleXformer(nn.Module):
+    """Shared LX/GX attention math incl. the reference's value
+    aggregation quirk (ev_transformer_batch.py:113-116): the
+    (B,1,N,M)x(B,Cn,M,N) matmul + sum over the last axis collapses the
+    values over the WHOLE sequence before the score contraction."""
+
+    def __init__(self, C, Cn, M, with_pe):
+        super().__init__()
+        self.nearst_events_num = M
+        self.w_qs = nn.Linear(C, Cn, bias=False)
+        self.w_ks = nn.Linear(C, Cn, bias=False)
+        self.w_vs = nn.Linear(C, Cn, bias=False)
+        if with_pe:
+            self.w_pe = nn.Linear(C, Cn, bias=False)
+        self.w_sa1 = nn.Linear(Cn, 1, bias=False)
+        self.w_sa2 = nn.Linear(Cn, C, bias=False)
+        self.layer_norm = nn.LayerNorm(C, eps=1e-6)  # dead (never called)
+
+    def attend(self, q, k_multi, v_multi, pe):
+        B, N, _ = q.shape
+        M = self.nearst_events_num
+        q_multi = q.unsqueeze(2).repeat(1, 1, M, 1)
+        sa = self.w_sa1(q_multi - k_multi + pe).view(B, 1, N, M)
+        scores = sa.softmax(dim=-1)
+        attn_vect = (v_multi + pe).permute(0, 3, 2, 1)  # B x Cn x M x N
+        p_attn = torch.matmul(scores, attn_vect)        # B x Cn x N x N
+        p_attn = p_attn.sum(-1).view(B, -1, N).permute(0, 2, 1)
+        return self.w_sa2(p_attn)
+
+
+class OracleLXformer(_OracleXformer):
+    def __init__(self, C, Cn, M):
+        super().__init__(C, Cn, M, with_pe=False)
+
+    def forward(self, q, k, v, pe):
+        M = self.nearst_events_num
+        q, k, v = self.w_qs(q), self.w_ks(k), self.w_vs(v)
+        return self.attend(
+            q, oracle_select_nearest(k, M), oracle_select_nearest(v, M), pe
+        )
+
+
+class OracleGXformer(_OracleXformer):
+    def __init__(self, C, Cn, M):
+        super().__init__(C, Cn, M, with_pe=True)
+
+    def forward(self, feat):
+        B, N, _ = feat.shape
+        M = self.nearst_events_num
+        q, k, v = self.w_qs(feat), self.w_ks(feat), self.w_vs(feat)
+        pe_raw = feat.unsqueeze(2).repeat(1, 1, M, 1) - oracle_fps(
+            feat, M
+        ).unsqueeze(1).repeat(1, N, 1, 1)
+        pe = self.w_pe(pe_raw)
+        k_multi = oracle_fps(k, M).unsqueeze(1).repeat(1, N, 1, 1)
+        v_multi = oracle_fps(v, M).unsqueeze(1).repeat(1, N, 1, 1)
+        return self.attend(q, k_multi, v_multi, pe)
+
+
+class OracleEventTransformer(nn.Module):
+    """Reference EventTransformer (ev_transformer_batch.py:195-291), eval
+    semantics (dropout identity)."""
+
+    def __init__(self, C=32, Cn=64, M=8, image_size=(32, 48)):
+        super().__init__()
+        self.H, self.W = image_size
+        self.M = M
+        self.mlp_1 = nn.Linear(4, C, bias=False)
+        self.w_pe = nn.Linear(4, Cn, bias=False)
+        self.LN = nn.LayerNorm([C])
+        self.lx_former = OracleLXformer(C, Cn, M)
+        self.gx_former = OracleGXformer(C, Cn, M)
+
+    def forward(self, events):  # B x N x 4 (x, y, t, p)
+        M = self.M
+        lx_in = self.mlp_1(events)
+        pe_raw = events.unsqueeze(2).repeat(1, 1, M, 1) - \
+            oracle_select_nearest(events, M)
+        pe = self.w_pe(pe_raw)
+        lx_out = lx_in + self.lx_former(lx_in, lx_in, lx_in, pe)
+        gx_out = lx_out + self.gx_former(lx_out)
+
+        images = []
+        for b in range(gx_out.shape[0]):
+            feat = F.gelu(self.LN(gx_out[b]))
+            ev = events[b]
+            N, C = feat.shape
+            img = torch.zeros(self.H, self.W, C)
+            x = torch.floor(ev[:, 0]).long()
+            y = torch.floor(ev[:, 1]).long()
+            p = ev[:, 3]
+            for c in range(C):
+                img.index_put_(
+                    [y, x, torch.full((N,), c, dtype=torch.long)],
+                    p * feat[:, c], accumulate=True,
+                )
+            mask = torch.nonzero(img, as_tuple=True)
+            if mask[0].numel() > 0:
+                mean, std = img[mask].mean(), img[mask].std()
+                img[mask] = (img[mask] - mean) / std if std > 0 else \
+                    img[mask] - mean
+            images.append(img)
+        return torch.stack(images, 0).permute(0, 3, 1, 2)  # B C H W
+
+
+class OracleRAFTGMA_rnn(nn.Module):
+    """Reference RAFTGMA_rnn (gma_rnn.py:40-161): point-transformer
+    segment images, context/attention from segment 0 once, per-segment
+    corr volume, GRU state carried across segments, flow re-initialized
+    at (i+1)/i of the previous segment's flow, predictions emitted only
+    during the last segment's iterations."""
+
+    def __init__(self, n_first_channels=5, image_size=(32, 48)):
+        super().__init__()
+        self.image_size = image_size
+        self.ev_transformer = OracleEventTransformer(
+            C=n_first_channels, Cn=n_first_channels * 2,
+            image_size=image_size,
+        )
+        self.fnet = OracleBasicEncoder(256, "instance", n_first_channels)
+        self.cnet = OracleBasicEncoder(256, "batch", n_first_channels)
+        self.update_block = OracleGMAUpdateBlock()
+        self.att = OracleGMAAttention()
+
+    def forward(self, event_segments, iters=3):
+        # event_segments: [B, S, N, 4]
+        S = event_segments.shape[1]
+        images = [self.ev_transformer(event_segments[:, s])
+                  for s in range(S)]
+        image1 = images[0]
+
+        cnet = self.cnet(image1)
+        net, inp = torch.split(cnet, [128, 128], dim=1)
+        net, inp = torch.tanh(net), torch.relu(inp)
+        attention = self.att(inp)
+
+        N, _, Hp, Wp = image1.shape
+        ys, xs = torch.meshgrid(
+            torch.arange(Hp // 8), torch.arange(Wp // 8), indexing="ij"
+        )
+        coords0 = torch.stack([xs, ys], 0).float().unsqueeze(0).repeat(
+            N, 1, 1, 1
+        )
+
+        preds = []
+        flow_init = torch.zeros_like(coords0)
+        f1 = self.fnet(image1)
+        for s in range(1, S):
+            f2 = self.fnet(images[s])
+            corr_fn = OracleCorrBlock(f1, f2)
+            coords1 = coords0 + flow_init
+            for _ in range(iters):
+                coords1 = coords1.detach()
+                corr = corr_fn(coords1)
+                flow = coords1 - coords0
+                net, up_mask, delta = self.update_block(
+                    net, inp, corr, flow, attention
+                )
+                coords1 = coords1 + delta
+                if s == S - 1:
+                    preds.append(
+                        OracleERAFT.upsample_flow(coords1 - coords0, up_mask)
+                    )
+            flow_init = (coords1 - coords0) * (s + 1) / s
+        return preds
