@@ -235,7 +235,11 @@ class EEMFlowPlus(nn.Module):
         n = 7
         if Hl < n:
             return None
-        tr = next((d for d in (16, 12, 8) if Hl % d == 0 and d >= n), Hl)
+        # wide rows (the 720p /4 level is 320 cols): smaller row tiles keep
+        # band + taps temporaries inside VMEM; narrow grids prefer larger
+        # tiles (less halo recompute)
+        cand = (8, 12, 16) if x.shape[2] > 200 else (16, 12, 8)
+        tr = next((d for d in cand if Hl % d == 0 and d >= n), Hl)
         ks, bs, relus = decoder_dense_kernels(
             self.variables["params"][name], self.groups
         )
