@@ -60,6 +60,10 @@ def main() -> None:
                    "has (registry.fast_eval_kwargs)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 params+volumes (not checkpoint-parity)")
+    p.add_argument("--shard", action="store_true",
+                   help="shard each serve batch over all local devices "
+                   "(data-parallel mesh, params replicated; --batch must "
+                   "be divisible by the device count)")
     p.add_argument("--out_dir", default=None,
                    help="write <sample>.flo final flows here")
     p.add_argument("--viz", action="store_true",
@@ -138,6 +142,22 @@ def main() -> None:
     if args.bf16:
         variables = cast_floating(variables, jnp.bfloat16)
 
+    in_shard = None
+    if args.shard:
+        from eemflow_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            replicated_sharding,
+        )
+
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        if B % n_dev:
+            raise SystemExit(f"--shard needs --batch divisible by "
+                             f"{n_dev} devices (got {B})")
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        in_shard = batch_sharding(mesh)
+
     # ---- host decode pipeline (runs in the prefetch thread) ----
     order = samples * args.loops
 
@@ -197,8 +217,13 @@ def main() -> None:
     for group, ev1, ev2, n1, n2, t_host_total in prefetch(decode_iter(),
                                                           depth=2):
         t0 = time.perf_counter()
-        flow_dev = step(variables, jnp.asarray(ev1), jnp.asarray(ev2),
-                        jnp.asarray(n1), jnp.asarray(n2))
+        if in_shard is not None:
+            ev1, ev2, n1, n2 = (jax.device_put(t, in_shard)
+                                for t in (ev1, ev2, n1, n2))
+        else:
+            ev1, ev2, n1, n2 = (jnp.asarray(t)
+                                for t in (ev1, ev2, n1, n2))
+        flow_dev = step(variables, ev1, ev2, n1, n2)
         t_dispatch += time.perf_counter() - t0
         if pending is not None:
             drain(pending)
