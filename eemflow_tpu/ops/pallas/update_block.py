@@ -183,7 +183,10 @@ def _gru_kernel(tile_rows, H, W, compute_dtype, *refs):
 
 
 def _pick_tile(H, halo):
-    for d in (16, 12, 10, 8, 6, 5):
+    # smaller tiles first: the kernels' weight tables alone are 3.6/7.1 MB
+    # fp32, so row bands must stay small to fit VMEM (halo recompute is
+    # the cheap currency here — the loop is memory-bound, not FLOP-bound)
+    for d in (8, 10, 12, 16, 6, 5):
         if H % d == 0 and d >= halo:
             return d
     return None
