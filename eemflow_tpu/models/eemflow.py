@@ -240,18 +240,24 @@ class EEMFlow(nn.Module):
             bs = [pp[n]["0"]["bias"] for n in names]
             return ks, bs
 
+        # wide rows: the im2col X9 matrix (rows·cols × 9·C) alone is ~12 MB
+        # at the 720p level-1 grid — use the tap-accumulation variant there
+        # (identical math, no X9 materialisation)
+        var = lambda x: "taps" if x.shape[2] > 512 else "im2col"
         g1 = s2(ev, pp["pconv1_1"])
         f11, p1 = fused_convs_pool(
-            g1, *kb(["pconv1_2"]), pool=32, compute_dtype=cdt
+            g1, *kb(["pconv1_2"]), pool=32, compute_dtype=cdt,
+            variant=var(g1),
         )
         g2 = s2(f11, pp["pconv2_1"])
         f12, p2 = fused_convs_pool(
-            g2, *kb(["pconv2_2", "pconv2_3"]), pool=16, compute_dtype=cdt
+            g2, *kb(["pconv2_2", "pconv2_3"]), pool=16, compute_dtype=cdt,
+            variant=var(g2),
         )
         g3 = s2(f12, pp["pconv3_1"])
         _, p3 = fused_convs_pool(
             g3, *kb(["pconv3_2", "pconv3_3"]), pool=8, compute_dtype=cdt,
-            emit_full=False,
+            emit_full=False, variant=var(g3),
         )
         return p1, p2, p3
 

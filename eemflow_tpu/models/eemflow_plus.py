@@ -213,15 +213,19 @@ class EEMFlowPlus(nn.Module):
             return ks, bs
 
         cdt = self._cdt()
+        # wide rows → tap accumulation (no im2col X9 materialisation)
+        var = lambda x: "taps" if x.shape[2] > 512 else "im2col"
         g1 = s2(ev, pp["pconv1_1"])
         f11, _ = fused_convs_pool(g1, *kb(["pconv1_2"]), pool=None,
-                                  compute_dtype=cdt)
+                                  compute_dtype=cdt, variant=var(g1))
         g2 = s2(f11, pp["pconv2_1"])
         f12, _ = fused_convs_pool(g2, *kb(["pconv2_2", "pconv2_3"]),
-                                  pool=None, compute_dtype=cdt)
+                                  pool=None, compute_dtype=cdt,
+                                  variant=var(g2))
         g3 = s2(f12, pp["pconv3_1"])
         f13, f14 = fused_convs_pool(g3, *kb(["pconv3_2", "pconv3_3"]),
-                                    pool=2, compute_dtype=cdt)
+                                    pool=2, compute_dtype=cdt,
+                                    variant=var(g3))
         return f11, f12, f13, f14
 
     def _fast_decoder(self, name, x):
