@@ -151,6 +151,38 @@ def test_sharded_step_non_divisible_spatial():
 
 
 @pytest.mark.zoo
+def test_eemflow_plus_sharded_eval_matches_single_device():
+    """EEMFlow+ coarse-to-fine forward under DP×spatial sharding: the
+    per-level SGU/backwarp gathers sample across the spatial shard
+    boundary (unlike EEMFlow's local ops), so GSPMD must insert halo/
+    gather collectives — the result must equal the single-device
+    forward."""
+    from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+    B, H, W = 4, 64, 64
+    model = EEMFlowPlus()
+    rng = np.random.default_rng(9)
+    ev1 = jnp.asarray(rng.standard_normal((B, H, W, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((B, H, W, 5)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ev1, ev2)
+
+    @jax.jit
+    def fwd(v, a, b):
+        _, flows = model.apply(v, a, b)
+        return flows[-1]
+
+    ref = np.asarray(fwd(variables, ev1, ev2))
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        sh = NamedSharding(mesh, P("data", "spatial"))
+        v_sh = jax.device_put(variables, NamedSharding(mesh, P()))
+        got = np.asarray(
+            fwd(v_sh, jax.device_put(ev1, sh), jax.device_put(ev2, sh))
+        )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.zoo
 def test_sharded_eval_forward_matches_single_device():
     """Batched sharded eval forward (the serving layout: batch over 'data',
     H over 'spatial') equals the unsharded forward."""
