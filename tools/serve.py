@@ -161,6 +161,10 @@ def main() -> None:
     # ---- host decode pipeline (runs in the prefetch thread) ----
     order = samples * args.loops
 
+    if len(order) % B:
+        print(f"note: dropping {len(order) % B} tail sample(s) not filling "
+              f"a batch of {B}", flush=True)
+
     def decode_iter():
         t_host = 0.0
         for i in range(0, len(order) - len(order) % B, B):
