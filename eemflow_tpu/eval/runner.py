@@ -128,18 +128,20 @@ class Tester:
 
         batch = collate(samples)
         batch = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
+            k: v for k, v in batch.items()
             if k in _INPUT_KEYS and v is not None
         }
-        if self._mesh is not None:
+        if (self._mesh is not None
+                and len(samples) % self._mesh.shape["data"] == 0):
+            # place each host shard directly on its device (a jnp.asarray
+            # first would commit to device 0 and then redistribute)
             from eemflow_tpu.parallel.mesh import batch_sharding
 
-            n_data = self._mesh.shape["data"]
-            if len(samples) % n_data == 0:
-                shard = batch_sharding(self._mesh)
-                batch = {k: jax.device_put(v, shard)
-                         for k, v in batch.items()}
+            shard = batch_sharding(self._mesh)
+            batch = {k: jax.device_put(np.asarray(v), shard)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return self._fwd(self.variables, batch)
 
     def test_sequence(

@@ -223,8 +223,10 @@ class EEMFlowPlus(nn.Module):
                                   pool=None, compute_dtype=cdt,
                                   variant=var(g2))
         g3 = s2(f12, pp["pconv3_1"])
+        # tile_rows would default to pool=2 → 2-row tiles with a 2-row
+        # halo each side (200% recompute); 8-row tiles emit the same math
         f13, f14 = fused_convs_pool(g3, *kb(["pconv3_2", "pconv3_3"]),
-                                    pool=2, compute_dtype=cdt,
+                                    pool=2, tile_rows=8, compute_dtype=cdt,
                                     variant=var(g3))
         return f11, f12, f13, f14
 

@@ -4,8 +4,10 @@
 A sequence of raw event segments is converted to feature images by the
 point transformer (``models.event_transformer``); the context/attention come
 from the first segment's image, then GMA refinement runs between the first
-image and each subsequent segment image (predictions accumulate across
-segments, reference ``gma_rnn.py:94-160``).
+image and each subsequent segment image.  The GRU state carries across
+segments (the "rnn"), each segment restarts from the previous flow scaled
+by (i+1)/i, and only the LAST segment's iterations emit upsampled
+predictions (reference ``gma_rnn.py:94-160``).
 """
 
 from __future__ import annotations

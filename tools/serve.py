@@ -109,11 +109,6 @@ def main() -> None:
     step = jax.jit(apply_fn)
 
     # ---- params ----
-    rng0 = np.random.default_rng(0)
-    d_ev = jnp.asarray(
-        rng0.standard_normal((B, args.bucket_size, 4)), jnp.float32
-    )
-    d_n = jnp.full((B,), 16, jnp.int32)
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pth.tar",
                                                      ".pt")):
         from eemflow_tpu.compat.torch_loader import (
@@ -144,6 +139,12 @@ def main() -> None:
 
     in_shard = None
     if args.shard:
+        if args.fast and jax.default_backend() != "cpu":
+            # GSPMD cannot auto-partition Mosaic custom calls; the fused
+            # serving kernels are single-device programs
+            raise SystemExit("--shard cannot be combined with --fast on "
+                             "TPU (Pallas kernels are not auto-"
+                             "partitionable); drop one of the flags")
         from eemflow_tpu.parallel.mesh import (
             batch_sharding,
             make_mesh,
@@ -165,6 +166,8 @@ def main() -> None:
         print(f"note: dropping {len(order) % B} tail sample(s) not filling "
               f"a batch of {B}", flush=True)
 
+    dropped_total = [0, 0]  # [events dropped, samples affected]
+
     def decode_iter():
         t_host = 0.0
         for i in range(0, len(order) - len(order) % B, B):
@@ -176,6 +179,11 @@ def main() -> None:
                 for f in ("events1.npz", "events2.npz"):
                     with np.load(os.path.join(s, f)) as npz:
                         pair.append(decode_pack_npz(npz, args.bucket_size))
+                # pad_events contract: bucket overflow must be surfaced
+                drops = pair[0][2] + pair[1][2]
+                if drops:
+                    dropped_total[0] += drops
+                    dropped_total[1] += 1
                 evs.append((pair[0][0], pair[1][0]))
                 ns.append((pair[0][1], pair[1][1]))
             ev1 = np.stack([e[0] for e in evs])
@@ -245,9 +253,17 @@ def main() -> None:
     if pending is not None:
         drain(pending)
 
+    if dropped_total[0]:
+        print(f"WARNING: bucket overflow — {dropped_total[0]} events "
+              f"dropped across {dropped_total[1]} sample(s); raise "
+              f"--bucket_size (currently {args.bucket_size})", flush=True)
     if t_wall0 is None or n_frames == 0:
-        raise SystemExit("not enough samples past warmup to time; "
-                         "lower --warmup or add --loops")
+        # every batch was warmup: outputs (if any) were still written —
+        # report that and exit cleanly rather than failing the run
+        print("no batches past warmup to time (outputs were written); "
+              "lower --warmup or add --loops for a timed report",
+              flush=True)
+        return
     wall = time.perf_counter() - t_wall0
     host_ms = (t_host_total - t_host_base) * 1e3 / max(n_frames, 1)
     print(

@@ -151,6 +151,11 @@ def main() -> None:
     logger = Logger(save_path)
     mesh = None
     if args.shard_eval:
+        if any(k.startswith("fast") for k in model_kwargs) and (
+                jax.default_backend() != "cpu"):
+            # GSPMD cannot auto-partition Mosaic custom calls
+            raise SystemExit("--shard_eval cannot be combined with the "
+                             "fused --fast* modes on TPU; drop one")
         from eemflow_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()

@@ -101,7 +101,7 @@ def main() -> None:
     if args.fast_head:
         extra["fast_head"] = True
         extra["fast_head_impl"] = args.fast_head_impl
-    plus = args.model in ("eemflow_plus", "EEMFlow_cdc")
+    plus = args.model == "eemflow_plus"
     if args.fast_pyramid or args.fast_pyramid_bf16:
         extra["fast_pyramid"] = True
         if args.fast_pyramid_bf16:
