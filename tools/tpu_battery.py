@@ -1,0 +1,148 @@
+"""One-shot hardware A/B battery for the round-3 serving candidates.
+
+Runs every pending measurement from docs/PERF.md §"candidates built
+during the axon outage" — EEMFlow/EEMFlow+ fused serving modes, ERAFT
+mask-deferral + fused update block, banked voxel scatter — each leg
+guarded, each result printed as one JSON line (append to
+docs/BENCH_r3_tpu.json or paste into docs/PERF.md).
+
+Usage (on the real TPU; probe the tunnel first — see the verify notes):
+    python tools/tpu_battery.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer differential reps (smoke the battery)")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _fetch_time, _fwd_throughput
+
+    reps = 2 if args.quick else 5
+    rng = np.random.default_rng(0)
+
+    def emit(name, **kv):
+        print(json.dumps({"leg": name, **kv}), flush=True)
+
+    def fwd_point(name, model, H, W, B, k=(2, 10), bins=5):
+        try:
+            bufs = tuple(
+                jnp.asarray(rng.standard_normal((B, H, W, bins)),
+                            jnp.float32)
+                for _ in range(max(4, k[1] // 2 + 2))
+            )
+            var = model.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
+            apply_final = lambda v, a, b: model.apply(v, a, b)[1][-1]
+            t0 = time.perf_counter()
+            dt = _fwd_throughput(apply_final, var, bufs, *k, reps=reps)
+            emit(name, ms_per_img=round(dt / B * 1e3, 3),
+                 fps=round(B / dt, 2),
+                 compile_s=round(time.perf_counter() - t0, 1))
+            return var
+        except Exception as e:
+            emit(name, error=repr(e)[:200])
+            return None
+
+    # ---- EEMFlow @720x1280 b=2 ----
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    fwd_point("eemflow_std", EEMFlow(), 720, 1280, 2)
+    fwd_point("eemflow_fast",
+              EEMFlow(fast_head=True, fast_pyramid=True), 720, 1280, 2)
+    fwd_point("eemflow_fast_bf16",
+              EEMFlow(fast_head=True, fast_pyramid=True,
+                      fast_pyramid_dtype="bf16"), 720, 1280, 2)
+
+    # ---- EEMFlow+ @720x1280 b=2 ----
+    from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+    fwd_point("eemflow_plus_std", EEMFlowPlus(), 720, 1280, 2)
+    fwd_point("eemflow_plus_fast",
+              EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
+                          fast_sgu=True), 720, 1280, 2)
+    fwd_point("eemflow_plus_fast_bf16",
+              EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
+                          fast_sgu=True, fast_dtype="bf16"), 720, 1280, 2)
+
+    # ---- ERAFT @512x960 b=1 (k smaller: heavy model) ----
+    from eemflow_tpu.models.eraft import ERAFT
+
+    fwd_point("eraft_corr_fast_maskdefer",
+              ERAFT(upsample_all=False, corr_fast=True), 512, 960, 1,
+              k=(1, 9))
+    fwd_point("eraft_fused_update",
+              ERAFT(upsample_all=False, corr_fast=True, fused_update=True),
+              512, 960, 1, k=(1, 9))
+    fwd_point("eraft_fused_update_bf16",
+              ERAFT(upsample_all=False, corr_fast=True, fused_update=True,
+                    fused_dtype="bf16"), 512, 960, 1, k=(1, 9))
+
+    # ---- banked voxel scatter, b=6 @2^16, 8x per fetch ----
+    try:
+        from eemflow_tpu.events.voxel import (
+            events_to_voxel_grid,
+            events_to_voxel_grid_banked,
+            pad_events,
+        )
+
+        TH, TW, NEV = 512, 960, 1 << 16
+        evs, ns = [], []
+        for _ in range(6):
+            n = NEV - 1000
+            ev = np.empty((n, 4), np.float32)
+            ev[:, 0] = np.linspace(0, 0.04, n)
+            ev[:, 1] = rng.integers(0, TW, n)
+            ev[:, 2] = rng.integers(0, TH, n)
+            ev[:, 3] = rng.choice([-1.0, 1.0], n)
+            p, kv, _ = pad_events(ev, NEV)
+            evs.append(p)
+            ns.append(kv)
+        ev6 = jnp.asarray(np.stack(evs))
+        n6 = jnp.asarray(np.asarray(ns, np.int32))
+
+        def vox_k(banks):
+            def f(e, n):
+                def body(acc, i):
+                    fn = (events_to_voxel_grid if banks == 1 else
+                          functools.partial(events_to_voxel_grid_banked,
+                                            banks=banks))
+                    g = jax.vmap(lambda ee, nn: fn(ee, nn, 5, TH, TW))(
+                        e + i * 1e-9, n)
+                    return acc + g.sum(), None
+                acc, _ = jax.lax.scan(body, 0.0,
+                                      jnp.arange(8, dtype=jnp.float32))
+                return acc
+            return jax.jit(f)
+
+        for banks in (1, 2, 4, 8):
+            t = _fetch_time(vox_k(banks), (ev6, n6), reps=max(3, reps))
+            emit(f"voxelize_banks{banks}",
+                 ms_per_frame=round(t * 1e3 / (8 * 6), 3))
+    except Exception as e:
+        emit("voxelize_banks", error=repr(e)[:200])
+
+    emit("battery_done", device=jax.devices()[0].device_kind)
+
+
+if __name__ == "__main__":
+    main()
