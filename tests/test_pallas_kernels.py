@@ -241,6 +241,38 @@ def test_fused_convs_dense_concat_chain(monkeypatch):
         )
 
 
+def test_eemflow_both_fast_modes_interpret(monkeypatch):
+    """fast_head + fast_pyramid COMPOSED (the --fast umbrella / bench
+    serving configuration) matches the standard forward — the head
+    consumes the fused pyramid's pooled grids."""
+    _interp_fused_convs(monkeypatch)
+    from jax.experimental import pallas as pl
+
+    import eemflow_tpu.ops.pallas.coarse_head as ch
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ch.pl, "pallas_call", interp_call)
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    rng = np.random.default_rng(21)
+    ev1 = jnp.asarray(rng.standard_normal((1, 128, 192, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 128, 192, 5)), jnp.float32)
+    m = EEMFlow()
+    params = m.init(jax.random.PRNGKey(0), ev1, ev2)
+    _, [ref] = m.apply(params, ev1, ev2)
+    _, [got] = EEMFlow(fast_head=True, fast_pyramid=True).apply(
+        params, ev1, ev2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_eemflow_plus_fast_modes_interpret(monkeypatch):
     """EEMFlowPlus(fast_pyramid/fast_decoders) (interpret mode) matches the
     standard coarse-to-fine forward on the same params; the fused decoder
