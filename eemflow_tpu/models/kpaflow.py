@@ -188,6 +188,7 @@ class KPAFlow(nn.Module):
     sc_enc: int = 13
     sc_dec: int = 19
     pad_rate: int = 8
+    cnet_norm: str = "batch"  # "instance" = the unite_kpa _IN variant
 
     @nn.compact
     def __call__(self, events1, events2, iters: Optional[int] = None, train=False):
@@ -203,9 +204,8 @@ class KPAFlow(nn.Module):
         fmap2 = trans(fmap2, fmap2)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
-        cnet = BasicEncoder(256, "batch", self.n_first_channels, name="cnet")(
-            im1, train=train
-        )
+        cnet = BasicEncoder(256, self.cnet_norm, self.n_first_channels,
+                            name="cnet")(im1, train=train)
         net = nn.tanh(cnet[..., :128])
         inp = nn.relu(cnet[..., 128:])
 

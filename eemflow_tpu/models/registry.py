@@ -103,7 +103,7 @@ EXPECTED_MODELS = (
     # (unite_GMA/unite_gmflow/unite_gmflownet/unite_flowformer/unite_sknet)
     "unite_gma", "unite_gma_in", "unite_gmflow", "unite_gmflownet",
     "unite_gmflownet_in", "unite_flowformer", "unite_sknet",
-    "unite_sknet_in",
+    "unite_sknet_in", "unite_kpa", "unite_kpa_in",
 )
 
 
@@ -202,6 +202,11 @@ def _populate() -> None:
             "unite_sknet": _cfg(UniteZoo, backbone="skflow"),
             "unite_sknet_in": _cfg(UniteZoo, backbone="skflow",
                                    cnet_norm="instance"),
+            # RAFTKPARES(_IN) (unite_kpa.py:37,177 — dead upstream: author
+            # sys.path + missing MIMO_unet; rebuilt live): RES frontend
+            "unite_kpa": _cfg(UniteZoo, backbone="kpaflow", with_res=True),
+            "unite_kpa_in": _cfg(UniteZoo, backbone="kpaflow",
+                                 with_res=True, cnet_norm="instance"),
         }
     )
     missing = set(EXPECTED_MODELS) - set(MODEL_REGISTRY)

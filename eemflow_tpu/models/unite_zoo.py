@@ -39,7 +39,8 @@ from eemflow_tpu.models.unet import MIMOUNet
 from eemflow_tpu.ops.pad import InputPadder
 
 # backbone registry name → (module class factory, accepts iters kwarg)
-_BACKBONES = ("gma", "gmflow", "gmflownet", "flowformer", "skflow")
+_BACKBONES = ("gma", "gmflow", "gmflownet", "flowformer", "skflow",
+              "kpaflow")
 
 
 def _build_backbone(backbone: str, n_first_channels: int, cnet_norm: str,
@@ -70,6 +71,14 @@ def _build_backbone(backbone: str, n_first_channels: int, cnet_norm: str,
 
         return SKFlow(n_first_channels=n_first_channels, cnet_norm=cnet_norm,
                       upsample_all=upsample_all, name="backbone"), True
+    if backbone == "kpaflow":
+        from eemflow_tpu.models.kpaflow import KPAFlow
+
+        # reference unite_kpa.py RAFTKPARES(_IN) — dead upstream (the
+        # hard-coded author sys.path + missing MIMO_unet import), rebuilt
+        # here as a live frontend
+        return KPAFlow(n_first_channels=n_first_channels,
+                       cnet_norm=cnet_norm, name="backbone"), True
     raise ValueError(f"unknown unite backbone {backbone!r}; "
                      f"expected one of {_BACKBONES}")
 

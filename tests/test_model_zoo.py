@@ -102,6 +102,7 @@ def test_unite_zoo_frontends_smoke():
         ("unite_gma", {"upsample_all": False}),
         ("unite_gmflownet_in", {}),
         ("unite_sknet", {}),
+        ("unite_kpa", {}),
     ]:
         model = get_model(name, **kwargs)
         assert model.cnet_norm == ("instance" if name.endswith("_in") else "batch")
