@@ -1,5 +1,8 @@
 """DCEIFlow — event-voxel + single-image fusion flow
-(reference ``model/SDCEImodel/DCEIFlow.py`` + ``decoder/with_event_updater.py``).
+(reference ``model/SDCEImodel/DCEIFlow.py`` + ``decoder/with_event_updater.py``;
+the encoder/updater are the family's copies of the shared RAFT core —
+``backbone/raft_encoder.py``, ``decoder/raft_updater.py`` — implemented once
+in ``models.raft_core``).
 
 RAFT skeleton where the second view is *synthesized*: the image features
 (fnet) fuse with event features (enet) through ``EIFusion`` (two 1×1

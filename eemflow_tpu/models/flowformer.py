@@ -70,7 +70,9 @@ FLOWFORMER_DROP = ("memory_decoder.att.pos_emb.",)
 
 
 def linear_position_embedding_sine(coord, dim, normalize_factor=1.0 / 200):
-    """reference attention.py:141-145. coord: [..., 2] (x, y) → [..., dim]."""
+    """reference attention.py:141-145 (the class twins live in
+    ``model/flowformer/position_encoding.py``).  coord: [..., 2] (x, y)
+    → [..., dim]."""
     freq = jnp.arange(dim // 4, dtype=jnp.float32)
     x = coord[..., -2:-1] * 3.14 * normalize_factor
     y = coord[..., -1:] * 3.14 * normalize_factor

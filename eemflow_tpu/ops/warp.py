@@ -160,7 +160,8 @@ def forward_interpolate(flow: jax.Array) -> tuple[jax.Array, jax.Array]:
     warm-start primitive (reference ``utils/image_utils.py:53``
     ``forward_interpolate_pytorch`` via ``grid_sample_values:11``; the
     scipy-griddata twin lives in every family's utils, e.g.
-    ``model/GMA/utils/utils.py:28``).
+    ``model/GMA/utils/utils.py:28`` and
+    ``model/SDCEImodel/sample_utils.py:7``).
 
     Each source pixel deposits its flow value at ``(x+dx, y+dy)`` with
     bilinear weights over the four surrounding integer pixels; deposits are
