@@ -70,6 +70,33 @@ def main_eraft():
     print(f"eraft golden AEE = {aee}")
 
 
+def main_plus():
+    """EEMFlow+ golden (the paper's second headline model): coarse-to-fine
+    SGU forward at protocol resolution, one sample (CPU minutes)."""
+    from torch_oracles import OracleEEMFlowPlus
+
+    from test_golden_acceptance import make_hrem_fixture, run_cli
+
+    torch.manual_seed(777)
+    oracle = OracleEEMFlowPlus(n_first_channels=5).eval()
+    sd = {"module." + k: v for k, v in oracle.state_dict().items()}
+    ckpt = os.path.join(HERE, "eemflow_plus_hrem_golden.pth.tar")
+    torch.save({"state_dict": sd}, ckpt)
+
+    root = make_hrem_fixture("/tmp/golden_gen")
+    aee = run_cli(root, ckpt, "/tmp/golden_gen/out_plus",
+                  extra_args=("--max_samples", "1"), model="eemflow_plus")
+    with open(os.path.join(HERE, "hrem_golden_plus.json"), "w") as f:
+        json.dump({"model": "eemflow_plus", "aee": aee, "torch_seed": 777,
+                   "fixture_seed": 99, "max_samples": 1}, f, indent=2)
+    print(f"eemflow_plus golden AEE = {aee}")
+
+
 if __name__ == "__main__":
     import sys as _sys
-    (main_eraft if "--eraft" in _sys.argv else main)()
+    if "--eraft" in _sys.argv:
+        main_eraft()
+    elif "--plus" in _sys.argv:
+        main_plus()
+    else:
+        main()

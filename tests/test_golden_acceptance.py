@@ -125,5 +125,27 @@ def test_golden_acceptance_eraft_cli(tmp_path):
     )
 
 
+PLUS_CKPT = os.path.join(HERE, "fixtures", "eemflow_plus_hrem_golden.pth.tar")
+PLUS_GOLDEN = os.path.join(HERE, "fixtures", "hrem_golden_plus.json")
+
+
+@pytest.mark.zoo
+def test_golden_acceptance_eemflow_plus_cli(tmp_path):
+    """The coarse-to-fine SGU family golden (EEMFlow+, the paper's second
+    headline model): torch ingest → converter (dead-param drop list) →
+    5-level warp/correlate/decode forward at protocol resolution → pinned
+    AEE.  One sample (full-res CPU forward is minutes)."""
+    with open(PLUS_GOLDEN) as f:
+        golden = json.load(f)
+    root = make_hrem_fixture(str(tmp_path), seed=golden["fixture_seed"])
+    aee = run_cli(root, PLUS_CKPT, str(tmp_path / "out"),
+                  extra_args=("--max_samples", str(golden["max_samples"])),
+                  model="eemflow_plus")
+    assert abs(aee - golden["aee"]) < 0.01, (
+        f"eemflow_plus golden AEE drifted: got {aee}, "
+        f"committed {golden['aee']}"
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
