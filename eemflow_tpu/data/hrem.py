@@ -140,12 +140,20 @@ class HREMEventFlow:
 
     def _raw(self, path: str):
         """Read + pad raw events for device-side voxelization (fused C++
-        decode+pack when available — ``eemflow_tpu.native``)."""
-        from eemflow_tpu.native import decode_pack_npz
+        decode+pack when available — ``eemflow_tpu.native``).  Columns are
+        decompressed ONCE: NpzFile members are not cached, so a separate
+        ``len(npz['t'])`` for the bucket ladder would decode the int64 t
+        column (~60% of the record's bytes) twice on the host-bottleneck
+        path."""
+        from eemflow_tpu.native import decode_pack_arrays
 
         with np.load(path) as npz:
-            bucket = choose_bucket(len(npz["t"]), self.bucket_ladder)
-            padded, n, dropped = decode_pack_npz(npz, bucket)
+            t = np.ascontiguousarray(npz["t"], np.int64)
+            x = np.ascontiguousarray(npz["x"], np.int16)
+            y = np.ascontiguousarray(npz["y"], np.int16)
+            p = np.ascontiguousarray(npz["p"], np.int8)
+        bucket = choose_bucket(len(t), self.bucket_ladder)
+        padded, n, dropped = decode_pack_arrays(t, x, y, p, bucket)
         self.overflow.update(n + dropped, dropped)
         return padded, np.int32(n)
 

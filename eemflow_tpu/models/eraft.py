@@ -152,20 +152,12 @@ def raft_refine(update_block, pyramid, net, inp, coords0, coords1, n_iters,
         # one pair per level (per-level cost is fixed overhead, docs/
         # PERF.md); the zero-padded level stack is built ONCE here, outside
         # the scan, and broadcast into every iteration
-        from eemflow_tpu.ops.corr_block import lookup_corr_stack
-
-        H0, W0 = pyramid[0].shape[1:3]
-        shapes = [c.shape[1:3] for c in pyramid]
-        stack = jnp.stack(
-            [
-                jnp.pad(
-                    c[..., 0],
-                    ((0, 0), (0, H0 - c.shape[1]), (0, W0 - c.shape[2])),
-                )
-                for c in pyramid
-            ],
-            axis=1,
+        from eemflow_tpu.ops.corr_block import (
+            build_corr_stack,
+            lookup_corr_stack,
         )
+
+        stack, shapes = build_corr_stack(pyramid)
 
         def lookup(coords):
             return lookup_corr_stack(stack, shapes, coords, radius)

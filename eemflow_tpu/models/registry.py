@@ -60,6 +60,14 @@ def get_eval_model(name: str, **kwargs):
     ctor = MODEL_REGISTRY[name]
     cls = getattr(ctor, "func", ctor)  # unwrap functools.partial presets
     fields = getattr(cls, "__dataclass_fields__", {})
+    unsupported = [k for k in kwargs if fields and k not in fields]
+    if unsupported:
+        # a clear error instead of flax's TypeError deep in construction
+        # (e.g. `--fast_head` passed with a model that has no fused head)
+        raise ValueError(
+            f"model '{name}' does not support: {sorted(unsupported)} "
+            f"(its fields: {sorted(fields)})"
+        )
     if "upsample_all" in fields and "upsample_all" not in kwargs:
         kwargs["upsample_all"] = False
     return ctor(**kwargs)

@@ -97,11 +97,26 @@ def decode_pack_npz(
     """HREM npz event record → (padded [bucket,4] float32, n_valid, dropped).
 
     Fused native path when available; numpy path otherwise (also used for
-    unsorted inputs, which the numpy path sorts)."""
+    unsorted inputs, which the numpy path sorts).  NpzFile members are NOT
+    cached — callers that also need len(t) (bucket-ladder selection)
+    should decode the columns once and use ``decode_pack_arrays``."""
     t = np.ascontiguousarray(npz["t"], np.int64)
     x = np.ascontiguousarray(npz["x"], np.int16)
     y = np.ascontiguousarray(npz["y"], np.int16)
     p = np.ascontiguousarray(npz["p"], np.int8)
+    return decode_pack_arrays(t, x, y, p, bucket, ts_mult)
+
+
+def decode_pack_arrays(
+    t: np.ndarray, x: np.ndarray, y: np.ndarray, p: np.ndarray,
+    bucket: int, ts_mult: float = 1e6,
+) -> Tuple[np.ndarray, int, int]:
+    """Pre-decoded HREM columns (int64 t / int16 x,y / int8 p) →
+    (padded [bucket,4] float32, n_valid, dropped)."""
+    t = np.ascontiguousarray(t, np.int64)
+    x = np.ascontiguousarray(x, np.int16)
+    y = np.ascontiguousarray(y, np.int16)
+    p = np.ascontiguousarray(p, np.int8)
     lib = _build_and_load()
     if lib is not None:
         out = np.empty((bucket, 4), np.float32)

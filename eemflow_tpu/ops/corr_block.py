@@ -108,6 +108,14 @@ def lookup_corr_pyramid_stacked(
     runs once per CALL, so callers should hoist it if the pyramid is
     reused — see the precomputed-stack variant in ``models.eraft``.
     """
+    stack, shapes = build_corr_stack(pyramid)
+    return lookup_corr_stack(stack, shapes, coords, radius)
+
+
+def build_corr_stack(pyramid: List[jax.Array]):
+    """Zero-pad every pyramid level to the level-0 extent and stack:
+    → ([N, L, H0, W0], [(H_i, W_i)]).  Hoist this when the pyramid is
+    reused across iterations (``models.eraft.raft_refine``)."""
     H0, W0 = pyramid[0].shape[1:3]
     stack = jnp.stack(
         [
@@ -119,9 +127,7 @@ def lookup_corr_pyramid_stacked(
         ],
         axis=1,
     )  # [N, L, H0, W0]
-    return lookup_corr_stack(
-        stack, [c.shape[1:3] for c in pyramid], coords, radius
-    )
+    return stack, [c.shape[1:3] for c in pyramid]
 
 
 def lookup_corr_stack(

@@ -110,8 +110,17 @@ def voxel_scatter_pallas(
     UNNORMALIZED voxel grid (the caller applies ``normalize_voxel_grid``).
 
     Vote semantics identical to ``events.voxel.events_to_voxel_grid``.
+
+    N must be a multiple of the 128-lane chunk: the in-kernel event reads
+    are aligned ``pl.ds(base, 128)`` slices, and a clamped partial tail
+    chunk would misalign the live-lane mask (double-counting the overlap
+    and dropping the tail).  All production buckets are powers of two;
+    asserted here so the precondition can't be violated silently.
     """
     B, N, _ = events.shape
+    assert N % 128 == 0, (
+        f"voxel_scatter_pallas needs a 128-multiple bucket, got N={N}"
+    )
 
     t = events[..., 0]
     xs = events[..., 1].astype(jnp.int32)
