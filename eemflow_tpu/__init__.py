@@ -16,4 +16,4 @@ Design stance (TPU-first, not a port):
     reference's lossy resume, see reference train_EEMFlow_HREM.py:127-130).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
