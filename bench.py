@@ -51,6 +51,7 @@ headline setting (flagged by ``baseline_assumed``).  Driver target ≥10×.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 ASSUMED_CUDA_BASELINE_FPS = 100.0
@@ -332,7 +333,59 @@ def _serving_sustained(extra, rng):
     return fps
 
 
+def _probe_backend(timeout_s: float = 150.0) -> bool:
+    """Bounded liveness probe for the device backend, run in a subprocess.
+
+    The axon remote-TPU tunnel, when down, hangs EVERY jax device call
+    (including ``jax.devices()``) with no client-side timeout — an
+    unguarded bench run would wedge the driver instead of reporting.
+    A tiny compile+byte-fetch in a killable child is the only honest
+    liveness check (docs/PERF.md §outage notes)."""
+    import subprocess
+
+    # the axon plugin ignores the JAX_PLATFORMS *env var* in this image;
+    # only the config API is honored (tests/conftest.py) — mirror the CLIs'
+    # handling so a CPU-forced bench run probes the CPU backend, not the
+    # tunnel
+    code = (
+        "import os, jax\n"
+        "if os.environ.get('JAX_PLATFORMS', '').strip() == 'cpu':\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "print(float(np.asarray(jnp.ones((2, 2)).sum())))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "4.0" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "EEMFlow sustained serving frames/sec/chip "
+                              "@720x1280 (raw events in)",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "device backend unreachable (axon TPU tunnel down: "
+                        "jax device calls hang with no client-side timeout); "
+                        "no measurement possible this run — see "
+                        "BENCH_r02.json / docs/PERF.md for the last "
+                        "measured numbers"
+                    ),
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
     import numpy as np
