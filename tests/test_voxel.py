@@ -179,3 +179,33 @@ def test_banked_scatter_matches_production():
         )
     )
     np.testing.assert_array_equal(got3, ref3)
+
+
+def test_zero_event_frame_is_finite_and_zero():
+    """A frame with no events (n_valid=0, all-padded buffer) must produce an
+    all-zero, NaN-free voxel grid through both the raw voxelizer and the
+    device-preprocess path — the per-nonzero mean/std normalization
+    (reference loader_utils.py:527-535) divides by an empty-set std there,
+    so the guards in ``normalize_voxel_grid`` are load-bearing for serving
+    empty frames."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.events.voxel import events_to_voxel_grid
+
+    ev = jnp.zeros((64, 4), jnp.float32)
+    grid = events_to_voxel_grid(ev, jnp.int32(0), 5, 8, 8)
+    assert np.isfinite(np.asarray(grid)).all()
+    assert np.asarray(grid).sum() == 0.0
+
+    pre = make_device_preprocess(5, 8, 8)
+    batch = pre({
+        "events_old": ev[None], "events_new": ev[None],
+        "n_old": jnp.zeros((1,), jnp.int32),
+        "n_new": jnp.zeros((1,), jnp.int32),
+    })
+    for key in ("event_volume_old", "event_volume_new"):
+        vol = np.asarray(batch[key])
+        assert vol.shape == (1, 8, 8, 5)
+        assert np.isfinite(vol).all() and vol.sum() == 0.0
