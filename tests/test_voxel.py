@@ -209,3 +209,25 @@ def test_zero_event_frame_is_finite_and_zero():
         vol = np.asarray(batch[key])
         assert vol.shape == (1, 8, 8, 5)
         assert np.isfinite(vol).all() and vol.sum() == 0.0
+
+
+def test_identical_timestamp_events_land_in_bin0():
+    """All events sharing one timestamp: the reference voxelizer divides by
+    deltaT=0 (loader_utils.py:488 → NaN grid); our guard substitutes
+    deltaT=1 so every event votes into bin 0 with full weight — a
+    documented defect fix, pinned here so the deviation stays deliberate."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eemflow_tpu.events.voxel import events_to_voxel_grid
+
+    ev = np.zeros((8, 4), np.float32)
+    ev[:, 0] = 0.5
+    ev[:, 1] = np.arange(8)
+    ev[:, 2] = 1
+    ev[:, 3] = 1.0
+    g = np.asarray(events_to_voxel_grid(
+        jnp.asarray(ev), jnp.int32(8), 5, 4, 8, normalize=False))
+    assert np.isfinite(g).all()
+    np.testing.assert_array_equal(g.reshape(5, -1).sum(1),
+                                  [8.0, 0.0, 0.0, 0.0, 0.0])
