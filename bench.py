@@ -354,14 +354,34 @@ def _probe_backend(timeout_s: float = 150.0) -> bool:
         "import numpy as np, jax.numpy as jnp\n"
         "print(float(np.asarray(jnp.ones((2, 2)).sum())))\n"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-        return r.returncode == 0 and "4.0" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    # NOT subprocess.run(capture_output=True): on timeout it SIGKILLs the
+    # child but then blocks in communicate() — the axon plugin's helper
+    # process inherits the stdout pipe and never closes it (observed: a
+    # 150 s probe hanging >400 s).  Write to a tempfile and kill the whole
+    # process group instead.
+    import os
+    import signal
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out:
+        try:
+            p = subprocess.Popen(
+                [sys.executable, "-c", code], stdout=out,
+                stderr=subprocess.DEVNULL, start_new_session=True,
+            )
+        except OSError:
+            return False
+        try:
+            rc = p.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            p.wait()
+            return False
+        out.seek(0)
+        return rc == 0 and "4.0" in out.read()
 
 
 def main() -> None:
@@ -673,6 +693,10 @@ def main() -> None:
         serving_fps = fps  # fall back to the serialized-dispatch point
 
     extra["eemflow_fwd_serialized_fps"] = round(fps, 2)
+    # arithmetic bracket on the un-citable CUDA baseline (docs/PERF.md
+    # §grounding-bracket): ~10 GFLOP/frame on a 2080Ti/V100-class part at
+    # the 3-15% realized utilization typical of this model shape
+    extra["baseline_bracket_fps"] = [40, 200]
     print(
         json.dumps(
             {
@@ -689,8 +713,11 @@ def main() -> None:
                     "one; note the serving headline additionally includes "
                     "on-device voxelization of raw events, work the "
                     "reference's timing harness excludes (its comparable "
-                    "point is extra.eemflow_fwd_serialized_fps); see "
-                    "docs/PERF.md §baseline"
+                    "point is extra.eemflow_fwd_serialized_fps); "
+                    "arithmetic bracket on the true figure: "
+                    "extra.baseline_bracket_fps = [40, 200] fps "
+                    "(FLOP count x plausible GPU x realized-utilization "
+                    "band, docs/PERF.md §grounding-bracket)"
                 ),
                 "extra": extra,
             }
