@@ -182,16 +182,26 @@ def _lrelu(x):
 
 
 def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """x (h,w,Cin), w (9·Cin, Cout), b (1, Cout) → (h,w,Cout); zero pad."""
+    """x (h,w,Cin), w (9·Cin, Cout), b (1, Cout) → (h,w,Cout); zero pad.
+
+    Tap accumulation (9 dots on the per-tap weight rows) rather than an
+    im2col concat: Mosaic cannot lower the 9-way channel concatenate at
+    these offsets ("result/input offset mismatch on non-concat
+    dimension"), and the taps form needs no X9 materialisation anyway.
+    """
     h, wd, cin = x.shape
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
-    cols = [
-        jax.lax.slice(xp, (dy, dx, 0), (dy + h, dx + wd, cin))
-        for dy in range(3)
-        for dx in range(3)
-    ]
-    x9 = jnp.concatenate(cols, axis=-1).reshape(h * wd, 9 * cin)
-    y = jnp.dot(x9, w, preferred_element_type=jnp.float32) + b
+    y = b * jnp.ones((h * wd, 1), jnp.float32)
+    for t, (dy, dx) in enumerate(
+        (a, c) for a in range(3) for c in range(3)
+    ):
+        xt = jax.lax.slice(
+            xp, (dy, dx, 0), (dy + h, dx + wd, cin)
+        ).reshape(h * wd, cin)
+        y = y + jnp.dot(
+            xt, w[t * cin : (t + 1) * cin],
+            preferred_element_type=jnp.float32,
+        )
     return y.reshape(h, wd, w.shape[1])
 
 

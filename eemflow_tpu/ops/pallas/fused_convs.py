@@ -74,12 +74,14 @@ def _kernel(
     # (tile_rows + 2h, W, C); image row of band row r = i*tile_rows - h + r.
     # The edge tiles' clamped neighbor blocks hold duplicated in-image data
     # where the conv needs zero padding — mask out-of-image rows to zero.
+    # full-rank iota (not 2D + [:, :, None]): Mosaic rejects minor-dim
+    # insertion on the i1 mask ("only supported for 32-bit types")
     rows0 = (
-        jax.lax.broadcasted_iota(jnp.int32, band.shape[:2], 0)
+        jax.lax.broadcasted_iota(jnp.int32, band.shape, 0)
         + i * tile_rows
         - h
     )
-    band = jnp.where(((rows0 >= 0) & (rows0 < H))[:, :, None], band, 0.0)
+    band = jnp.where((rows0 >= 0) & (rows0 < H), band, 0.0)
 
     plane = jnp.pad(band, ((0, 0), (m, m), (0, 0)))
 
@@ -124,12 +126,12 @@ def _kernel(
         # margin cols and any out-of-image rows this conv just filled
         mm = m - 1 - j
         row0 = i * tile_rows - h + (j + 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, y.shape[:2], 0) + row0
+        rows = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + row0
         keep = (rows >= 0) & (rows < H)
         if mm > 0:
-            colix = jax.lax.broadcasted_iota(jnp.int32, y.shape[:2], 1)
+            colix = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             keep = keep & (colix >= mm) & (colix < Wp - 2 - mm)
-        y = jnp.where(keep[:, :, None], y, 0.0)
+        y = jnp.where(keep, y, 0.0)
         if concat[j]:
             # densely-connected chain (reference FlowEstimatorDense):
             # next conv consumes [y, previous buffer].  The carried
