@@ -285,15 +285,26 @@ def voxelize_batch_nhwc(
     height: int,
     width: int,
     normalize: bool = True,
+    banks: int = 1,
 ) -> jax.Array:
     """[B, N, 4] + [B] → [B, H, W, bins] (NHWC, the model input layout).
 
     Unjitted on purpose: it is called *inside* the jitted train/eval step
     (``data.device_input.make_device_preprocess``) so voxelization fuses
-    into the step executable."""
-    fn = lambda e, n: events_to_voxel_grid(
-        e, n, num_bins, height, width, normalize
-    ).transpose(1, 2, 0)
+    into the step executable.
+
+    ``banks > 1`` uses the bank-split scatter (measured 1.47× faster at
+    banks=2 on v5e, tools/tpu_battery.py); votes are identical but per-cell
+    sums associate differently (fp-reordering-level difference vs banks=1).
+    """
+    if banks > 1:
+        fn = lambda e, n: events_to_voxel_grid_banked(
+            e, n, num_bins, height, width, banks=banks, normalize=normalize
+        ).transpose(1, 2, 0)
+    else:
+        fn = lambda e, n: events_to_voxel_grid(
+            e, n, num_bins, height, width, normalize
+        ).transpose(1, 2, 0)
     return jax.vmap(fn)(events, n_valid)
 
 

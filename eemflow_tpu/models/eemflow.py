@@ -240,10 +240,11 @@ class EEMFlow(nn.Module):
             bs = [pp[n]["0"]["bias"] for n in names]
             return ks, bs
 
-        # wide rows: the im2col X9 matrix (rows·cols × 9·C) alone is ~12 MB
-        # at the 720p level-1 grid — use the tap-accumulation variant there
-        # (identical math, no X9 materialisation)
-        var = lambda x: "taps" if x.shape[2] > 512 else "im2col"
+        # always tap-accumulation: the im2col X9 concat is a minor-dim
+        # vector concat Mosaic cannot lower at these offsets ("result/input
+        # offset mismatch on non-concat dimension", measured on v5e), and
+        # X9 alone is ~12 MB at the 720p level-1 grid anyway
+        var = lambda x: "taps"
         g1 = s2(ev, pp["pconv1_1"])
         f11, p1 = fused_convs_pool(
             g1, *kb(["pconv1_2"]), pool=32, compute_dtype=cdt,

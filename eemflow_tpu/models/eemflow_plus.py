@@ -213,8 +213,10 @@ class EEMFlowPlus(nn.Module):
             return ks, bs
 
         cdt = self._cdt()
-        # wide rows → tap accumulation (no im2col X9 materialisation)
-        var = lambda x: "taps" if x.shape[2] > 512 else "im2col"
+        # always tap accumulation: Mosaic cannot lower the im2col X9
+        # minor-dim concat at these shapes (measured on v5e; see
+        # models/eemflow.py _fast_pyramid)
+        var = lambda x: "taps"
         g1 = s2(ev, pp["pconv1_1"])
         f11, _ = fused_convs_pool(g1, *kb(["pconv1_2"]), pool=None,
                                   compute_dtype=cdt, variant=var(g1))

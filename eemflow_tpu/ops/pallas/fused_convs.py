@@ -52,6 +52,7 @@ def _kernel(
     H: int,
     W: int,
     pool,
+    pool_group: int,
     emit_full: bool,
     compute_dtype,
     variant: str,
@@ -146,11 +147,30 @@ def _kernel(
     # plane is now exactly rows [i*tile_rows, (i+1)*tile_rows) × W × C
     if emit_full:
         out_refs[0][0] = plane.astype(out_refs[0].dtype)
-    if pool is not None:
+    if pool is not None and pool_group == 1:
         pooled = plane.reshape(
             tile_rows // pool, pool, W // pool, pool, plane.shape[-1]
         ).mean(axis=(1, 3))
         out_refs[-1][0] = pooled.astype(out_refs[-1].dtype)
+    elif pool is not None:
+        # tile_rows < pool: one pooled row spans pool_group consecutive
+        # programs.  The pooled output block's index map is constant across
+        # the group, so the block stays VMEM-resident (output revisiting)
+        # and partial sums accumulate into it; the first program of each
+        # group initialises it.
+        partial = (
+            plane.reshape(tile_rows, W // pool, pool, plane.shape[-1])
+            .sum(axis=(0, 2))
+            * (1.0 / (pool * pool))
+        )[None].astype(out_refs[-1].dtype)
+
+        @pl.when(i % pool_group == 0)
+        def _init():
+            out_refs[-1][0] = partial
+
+        @pl.when(i % pool_group != 0)
+        def _acc():
+            out_refs[-1][0] += partial
 
 
 def fused_convs_pool(
@@ -196,7 +216,57 @@ def fused_convs_pool(
     assert len(relus) == n
     assert emit_full or pool is not None
     tr = tile_rows or pool or 8
-    assert H % tr == 0 and (pool is None or (tr % pool == 0 and W % pool == 0))
+
+    # VMEM guard: Mosaic pads the lane (minor = channel) dim to 128, so at
+    # small C the row-band working set is up to 8× its logical size — full
+    # pool-window tiles at e.g. 384×640×16 blow the 16 MB scoped-vmem stack
+    # limit (measured on v5e).  Shrink the row tile until the padded
+    # working-set estimate fits; pooled outputs are then accumulated across
+    # programs via output-block revisiting (pool_group below).  The live
+    # row-band buffer count scales with chain depth: measured ~7 per conv
+    # (n=1: 80.0 MB at 36 padded rows × 0.332 MB/row ⇒ 6.7; n=2: 18.87 MB
+    # at 8 rows × 0.168 ⇒ 14.0 — v5e Mosaic stack reports).
+    max_c = max(chain)
+    lanes = -(-max_c // 128) * 128
+    sub = -(-(W + 2 * n) // 8) * 8
+
+    def _est(r):
+        return 7 * n * (r + 2 * n) * sub * lanes * 4
+
+    budget = 14 << 20
+    while _est(tr) > budget:
+        cand = tr // 2
+        while cand > max(n, 1) and ((pool or H) % cand or H % cand):
+            cand -= 1
+        if cand < max(n, 1) or cand >= tr:
+            break  # smallest legal tile
+        tr = cand
+
+    if _est(tr) > budget and n > 1:
+        # even the smallest legal row tile exceeds scoped VMEM (halo and
+        # live buffers grow with chain depth) — split the chain into two
+        # kernels; the intermediate full-res plane round-trips HBM once
+        s = n // 2
+        mid, _ = fused_convs_pool(
+            x, kernels[:s], biases[:s], pool=None, tile_rows=tr,
+            compute_dtype=compute_dtype, emit_full=True, variant=variant,
+            relus=relus[:s], concat=concat[:s], interpret=interpret,
+        )
+        return fused_convs_pool(
+            mid, kernels[s:], biases[s:], pool=pool,
+            tile_rows=tile_rows or tr, compute_dtype=compute_dtype,
+            emit_full=emit_full, variant=variant, relus=relus[s:],
+            concat=concat[s:], interpret=interpret,
+        )
+
+    if pool is not None and tr < pool:
+        assert pool % tr == 0 and H % pool == 0, (pool, tr, H)
+        pool_group = pool // tr
+    else:
+        pool_group = 1
+    assert H % tr == 0 and (
+        pool is None or ((pool_group > 1 or tr % pool == 0) and W % pool == 0)
+    )
     assert tr >= n, (tr, n)  # neighbor blocks must cover the conv halo
     T = H // tr
 
@@ -231,13 +301,26 @@ def fused_convs_pool(
         )
         out_shapes.append(jax.ShapeDtypeStruct((B, H, W, c_out), jnp.float32))
     if pool is not None:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, tr // pool, W // pool, c_out),
-                lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
+        if pool_group == 1:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, tr // pool, W // pool, c_out),
+                    lambda b, i: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
+        else:
+            # one pooled-row block revisited by pool_group consecutive
+            # programs (index map constant within a group)
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, W // pool, c_out),
+                    functools.partial(
+                        lambda b, i, g: (b, i // g, 0, 0), g=pool_group
+                    ),
+                    memory_space=pltpu.VMEM,
+                )
+            )
         out_shapes.append(
             jax.ShapeDtypeStruct(
                 (B, H // pool, W // pool, c_out), jnp.float32
@@ -245,8 +328,8 @@ def fused_convs_pool(
         )
 
     res = pl.pallas_call(
-        functools.partial(_kernel, n, tr, H, W, pool, emit_full,
-                          compute_dtype, variant, relus, concat),
+        functools.partial(_kernel, n, tr, H, W, pool, pool_group,
+                          emit_full, compute_dtype, variant, relus, concat),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -292,9 +292,13 @@ def test_eemflow_plus_fast_modes_interpret(monkeypatch):
         fast_pyramid=True, fast_decoders=True, fast_sgu=True
     ).apply(params, ev1, ev2)
     assert len(gots) == len(refs)
+    # f32 tolerance: the tap-accumulation variant (now used at every level —
+    # Mosaic cannot lower the im2col X9 concat on v5e) reorders the 9-tap
+    # dot summation; the ~1e-6 per-level noise is amplified to ~2e-4 by the
+    # coarse-to-fine warp feedback at random-init flow magnitudes (10-17 px)
     for ref, got in zip(refs, gots):
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3
         )
     _, gotsb = EEMFlowPlus(
         fast_pyramid=True, fast_decoders=True, fast_sgu=True,

@@ -24,6 +24,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="fewer differential reps (smoke the battery)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filter: run only legs "
+                    "whose name contains one of these (others emit nothing)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +47,11 @@ def main() -> None:
     def emit(name, **kv):
         print(json.dumps({"leg": name, **kv}), flush=True)
 
+    only = args.only.split(",") if args.only else None
+
     def fwd_point(name, model, H, W, B, k=(2, 10), bins=5):
+        if only and not any(s in name for s in only):
+            return None
         try:
             bufs = tuple(
                 jnp.asarray(rng.standard_normal((B, H, W, bins)),
@@ -98,6 +105,9 @@ def main() -> None:
                     fused_dtype="bf16"), 512, 960, 1, k=(1, 9))
 
     # ---- banked voxel scatter, b=6 @2^16, 8x per fetch ----
+    if only and not any(s in "voxelize_banks" for s in only):
+        emit("battery_done", device=jax.devices()[0].device_kind)
+        return
     try:
         from eemflow_tpu.events.voxel import (
             events_to_voxel_grid,
