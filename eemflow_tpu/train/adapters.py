@@ -286,6 +286,8 @@ MODEL_FAMILY: Dict[str, str] = {
     "unite_flowformer": "mimounet",
     "unite_sknet": "mimounet",
     "unite_sknet_in": "mimounet",
+    "unite_kpa": "mimounet",
+    "unite_kpa_in": "mimounet",
     "dceiflow": "event_image",
     "steflow": "single_volume",
     "spikeflownet": "single_volume",
