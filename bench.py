@@ -51,8 +51,15 @@ headline setting (flagged by ``baseline_assumed``).  Driver target ≥10×.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# last successful bench record, committed so an outage run still reports
+# usable (clearly stale-flagged) numbers instead of an informationless 0.0
+BENCH_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_CACHE.json"
+)
 
 ASSUMED_CUDA_BASELINE_FPS = 100.0
 CHIP_PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5p": 459.0, "TPU v4": 275.0}
@@ -384,25 +391,46 @@ def _probe_backend(timeout_s: float = 150.0) -> bool:
         return rc == 0 and "4.0" in out.read()
 
 
+def _emit_stale_or_zero(reason: str) -> None:
+    """Outage path: emit the committed last-good record flagged ``stale``
+    (VERDICT r3 item 6 — BENCH_r03.json was an informationless 0.0), or the
+    bare-zero line only when no cache has ever been written."""
+    record = None
+    try:
+        with open(BENCH_CACHE_PATH) as f:
+            record = json.load(f)
+    except (OSError, ValueError):
+        record = None
+    if record and isinstance(record, dict) and record.get("value"):
+        record["stale"] = True
+        record["stale_reason"] = reason
+        print(json.dumps(record))
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "EEMFlow sustained serving frames/sec/chip "
+                          "@720x1280 (raw events in)",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": reason + " — and no committed bench cache exists; "
+                "see docs/PERF.md for the measurement history",
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_FORCE_OUTAGE"):  # test hook: simulate tunnel-down
+        _emit_stale_or_zero("simulated outage (BENCH_FORCE_OUTAGE set)")
+        return
     if not _probe_backend():
-        print(
-            json.dumps(
-                {
-                    "metric": "EEMFlow sustained serving frames/sec/chip "
-                              "@720x1280 (raw events in)",
-                    "value": 0.0,
-                    "unit": "frames/s",
-                    "vs_baseline": 0.0,
-                    "error": (
-                        "device backend unreachable (axon TPU tunnel down: "
-                        "jax device calls hang with no client-side timeout); "
-                        "no measurement possible this run — see "
-                        "BENCH_r02.json / docs/PERF.md for the last "
-                        "measured numbers"
-                    ),
-                }
-            )
+        _emit_stale_or_zero(
+            "device backend unreachable (axon TPU tunnel down: jax device "
+            "calls hang with no client-side timeout); no measurement "
+            "possible this run — numbers below are the last measured "
+            "record from docs/BENCH_CACHE.json"
         )
         return
 
@@ -570,21 +598,34 @@ def main() -> None:
             ev[:, 3] = rng.choice([-1.0, 1.0], n)
             decoded.append(ev)
 
+        from eemflow_tpu.data.loader import ArenaCollate
+        from eemflow_tpu.events.voxel import BufferPool
+
+        pack_pool = BufferPool()  # dataset._raw's pooled pack buffers
+        arena_collate = ArenaCollate(slots=4)  # the CLIs' warm collate
+
         def host_assemble():
-            """Per-batch host work in raw-event mode: pad + collate."""
-            evs_, ns_ = [], []
+            """Per-batch host work in raw-event mode, the production path:
+            per-sample pack into pooled warm buffers (``dataset._raw`` with
+            ``decode_pack_arrays(out=pool.get(bucket))``) + rotating-arena
+            collate (``ArenaCollate`` in tools/train_hrem.py)."""
+            samples = []
             for ev in decoded:
-                p_, k_, _ = pad_events(ev, NEV)
-                evs_.append(p_)
-                ns_.append(k_)
-            return {
-                "events_old": np.stack(evs_),
-                "events_new": np.stack(evs_[::-1]),
-                "n_old": np.asarray(ns_, np.int32),
-                "n_new": np.asarray(ns_[::-1], np.int32),
-                "flow": np.ones((B, 16, 16, 2), np.float32),
-                "valid": np.ones((B, 16, 16), np.float32),
-            }
+                buf = pack_pool.get(NEV)
+                n = min(len(ev), NEV)
+                buf[:n] = ev[:n]
+                buf[n:] = 0.0
+                samples.append({
+                    "events_old": buf, "n_old": np.int32(n),
+                    "events_new": buf, "n_new": np.int32(n),
+                    "flow": np.ones((16, 16, 2), np.float32),
+                    "valid": np.ones((16, 16), np.float32),
+                })
+            # reversed pairing so old/new differ per row (as in production)
+            for s, s2 in zip(samples, samples[::-1]):
+                s["events_new"] = s2["events_old"]
+                s["n_new"] = s2["n_old"]
+            return arena_collate(samples)
 
         host_assemble()  # warm allocators
         t0 = time.perf_counter()
@@ -697,9 +738,7 @@ def main() -> None:
     # §grounding-bracket): ~10 GFLOP/frame on a 2080Ti/V100-class part at
     # the 3-15% realized utilization typical of this model shape
     extra["baseline_bracket_fps"] = [40, 200]
-    print(
-        json.dumps(
-            {
+    record = {
                 "metric": "EEMFlow sustained serving frames/sec/chip "
                           "@720x1280 (raw events in)",
                 "value": round(serving_fps, 2),
@@ -721,8 +760,16 @@ def main() -> None:
                 ),
                 "extra": extra,
             }
-        )
-    )
+    record["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    print(json.dumps(record))
+    # persist as the last-good cache for outage runs (committed by the
+    # normal commit flow; a stale emit marks itself with stale: true)
+    try:
+        with open(BENCH_CACHE_PATH, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
