@@ -78,9 +78,12 @@ def get_eval_model(name: str, **kwargs):
 # evaluation).  Deliberately excludes corr_fast / bf16 fast dtypes, which
 # perturb results beyond fp noise and stay opt-in.
 FAST_EVAL_KWARGS = {
-    "eemflow": {"fast_head": True, "fast_pyramid": True},
-    "eemflow_plus": {"fast_pyramid": True, "fast_decoders": True,
-                     "fast_sgu": True},
+    # round-4 hardware A/B (docs/PERF.md): EEMFlow fast_head+fast_pyramid
+    # compile post-fix but measure 114 vs 207 fps standard — the XLA conv
+    # fusions beat the hand-fused Pallas chains at these shapes, so the
+    # umbrella flag maps to NO kwargs (the per-mode flags stay as opt-in
+    # documented experiments); EEMFlow+ fast modes still fail Mosaic
+    # compile on hardware and likewise stay out.
 }
 
 
@@ -94,8 +97,9 @@ def fast_eval_kwargs(name: str) -> dict:
 # every model the framework ships (reference CLI registry breadth,
 # train_EEMFlow_HREM.py:30-55 + per-family engines).  Imports are NOT
 # guarded: a broken model module must fail loudly, not vanish from the
-# registry (round-1 VERDICT weak #4).  tests/test_registry.py asserts this
-# exact name set.
+# registry (round-1 VERDICT weak #4).
+# tests/test_model_zoo.py::test_registry_exact_name_set asserts this exact
+# name set.
 EXPECTED_MODELS = (
     "eemflow", "eemflow_plus", "eraft", "raft", "gma", "gma_rnn",
     "event_transformer", "gmflow", "gmflownet", "flowformer", "kpaflow",
