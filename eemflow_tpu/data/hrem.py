@@ -91,8 +91,10 @@ class HREMEventFlow:
         )
         if raw_events:
             from eemflow_tpu.data.device_input import EventOverflowCounter
+            from eemflow_tpu.events.voxel import BufferPool
 
             self.overflow = EventOverflowCounter(f"HREM[{dt}]")
+            self._pack_pool = BufferPool()
         self._scan()
 
     def _scan_dir(self, d: str) -> List[Dict[str, str]]:
@@ -153,7 +155,9 @@ class HREMEventFlow:
             y = np.ascontiguousarray(npz["y"], np.int16)
             p = np.ascontiguousarray(npz["p"], np.int8)
         bucket = choose_bucket(len(t), self.bucket_ladder)
-        padded, n, dropped = decode_pack_arrays(t, x, y, p, bucket)
+        padded, n, dropped = decode_pack_arrays(
+            t, x, y, p, bucket, out=self._pack_pool.get(bucket)
+        )
         self.overflow.update(n + dropped, dropped)
         return padded, np.int32(n)
 

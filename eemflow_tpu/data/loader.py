@@ -16,34 +16,82 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def collate(samples) -> Dict[str, np.ndarray]:
+def collate(samples, round_up=None, _arena=None) -> Dict[str, np.ndarray]:
     """Stack a list of sample dicts into batched arrays (numeric keys only).
 
     Arrays whose shapes differ only in dim 0 (bucket-laddered event
     buffers, ``events.voxel.make_ladder``) are zero-padded to the batch
-    max — the max is itself a ladder rung, so batch shapes stay in a small
-    static set and jit recompilation is bounded."""
+    max, mapped through ``round_up`` when given (e.g.
+    ``lambda n: choose_bucket(n, ladder)``) — so batch shapes stay in a
+    small static set and jit recompilation is bounded.
+
+    ``_arena`` (used via :class:`ArenaCollate`) is a dict reused across
+    calls: output buffers are allocated once per (key, shape, dtype) and
+    refilled, which keeps their pages warm — the fresh-page faults of
+    per-batch ``np.zeros``/``np.stack`` were ~4× the copy cost itself on
+    the train input path (docs/PERF.md round 4)."""
+
+    def _buf(key, shape, dtype):
+        if _arena is None:
+            return np.empty(shape, dtype)
+        slot = _arena.get((key, shape, np.dtype(dtype)))
+        if slot is None:
+            slot = np.empty(shape, dtype)
+            _arena[(key, shape, np.dtype(dtype))] = slot
+        return slot
+
     out = {}
     for k in samples[0]:
         v0 = samples[0][k]
         if isinstance(v0, np.ndarray):
             arrs = [s[k] for s in samples]
             n0 = max(a.shape[0] for a in arrs)
+            if round_up is not None and k.startswith("events"):
+                n0 = int(round_up(n0))
             if any(a.shape[0] != n0 for a in arrs):
                 assert all(a.shape[1:] == arrs[0].shape[1:] for a in arrs), (
                     f"collate: key '{k}' varies beyond dim 0"
                 )
-                padded = np.zeros((len(arrs), n0) + arrs[0].shape[1:], v0.dtype)
+                padded = _buf(
+                    k, (len(arrs), n0) + arrs[0].shape[1:], v0.dtype
+                )
                 for i, a in enumerate(arrs):
-                    padded[i, : a.shape[0]] = a
+                    n = a.shape[0]
+                    padded[i, :n] = a
+                    padded[i, n:] = 0
                 out[k] = padded
                 continue
-            out[k] = np.stack(arrs)
+            stacked = _buf(k, (len(arrs),) + v0.shape, v0.dtype)
+            for i, a in enumerate(arrs):
+                stacked[i] = a
+            out[k] = stacked
         elif isinstance(v0, (int, float, bool, np.integer, np.floating, np.bool_)):
             out[k] = np.asarray([s[k] for s in samples])
         else:
             out[k] = [s[k] for s in samples]  # e.g. names
     return out
+
+
+class ArenaCollate:
+    """``collate`` with rotating preallocated output buffers.
+
+    ``slots`` independent arenas rotate per call so a batch still in
+    flight (queued in ``prefetch``, or being transferred to device) is
+    never overwritten: with prefetch depth d, a slot is refilled ``slots``
+    batches after it was handed out, so ``slots >= d + 2`` leaves one full
+    consumed-and-transferred batch of slack.  Buffer shapes come from the
+    bucket-ladder rung set, so each arena holds at most a few entries.
+    """
+
+    def __init__(self, round_up=None, slots: int = 4):
+        self.round_up = round_up
+        self._arenas = [dict() for _ in range(max(1, slots))]
+        self._i = 0
+
+    def __call__(self, samples) -> Dict[str, np.ndarray]:
+        arena = self._arenas[self._i]
+        self._i = (self._i + 1) % len(self._arenas)
+        return collate(samples, round_up=self.round_up, _arena=arena)
 
 
 def batch_iterator(
@@ -55,6 +103,7 @@ def batch_iterator(
     epochs: Optional[int] = None,
     process_index: int = 0,
     process_count: int = 1,
+    collate_fn=collate,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batches of ``batch_size`` samples per process.  Multi-host: every
     process draws the SAME shuffled order (same seed) and takes its
@@ -76,7 +125,7 @@ def batch_iterator(
             idx = order[i : i + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
-            yield collate([dataset[int(j)] for j in idx])
+            yield collate_fn([dataset[int(j)] for j in idx])
         epoch += 1
 
 

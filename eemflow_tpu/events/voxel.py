@@ -41,9 +41,41 @@ def pad_events(
     so float32 is precise enough.
     """
     n = min(len(events), bucket_size)
-    out = np.zeros((bucket_size, 4), dtype=np.float32)
+    out = np.empty((bucket_size, 4), dtype=np.float32)
     out[:n] = events[:n]
+    out[n:] = 0.0
     return out, n, len(events) - n
+
+
+class BufferPool:
+    """Rotating per-shape float32 buffer pool for event pack buffers.
+
+    A 4 MB ``np.empty`` each ``__getitem__`` is an mmap whose pages fault
+    cold on every fill; recycling ``ring`` buffers per bucket keeps pages
+    warm (~4× the copy cost on the train input path, docs/PERF.md round
+    4).  A buffer handed out is overwritten again only after ``ring``
+    further requests of the same bucket — callers (dataset ``_raw`` →
+    ``collate``) consume it within the same prefetch iteration, so the
+    default ring is generous.  NOT thread-safe; use one pool per loader
+    thread."""
+
+    def __init__(self, ring: int = 16):
+        self.ring = max(2, ring)
+        self._pool: dict = {}
+        self._next: dict = {}
+
+    def get(self, bucket: int) -> np.ndarray:
+        ring = self._pool.get(bucket)
+        if ring is None:
+            ring = self._pool[bucket] = []
+            self._next[bucket] = 0
+        if len(ring) < self.ring:
+            buf = np.empty((bucket, 4), np.float32)
+            ring.append(buf)
+            return buf
+        i = self._next[bucket]
+        self._next[bucket] = (i + 1) % self.ring
+        return ring[i]
 
 
 def make_ladder(bucket_size: int, n_rungs: int = 4) -> tuple:
@@ -293,9 +325,12 @@ def voxelize_batch_nhwc(
     (``data.device_input.make_device_preprocess``) so voxelization fuses
     into the step executable.
 
-    ``banks > 1`` uses the bank-split scatter (measured 1.47× faster at
-    banks=2 on v5e, tools/tpu_battery.py); votes are identical but per-cell
-    sums associate differently (fp-reordering-level difference vs banks=1).
+    ``banks > 1`` uses the bank-split scatter (round-3 measured it 1.47×
+    faster at banks=2; round 4 did NOT reproduce that — banks=1 wins
+    2.34-2.43 vs 3.12-3.18 ms/frame across two clean sessions, so the
+    production default is banks=1 — docs/PERF.md round 4); votes are
+    identical but per-cell sums associate differently (fp-reordering-level
+    difference vs banks=1).
     """
     if banks > 1:
         fn = lambda e, n: events_to_voxel_grid_banked(

@@ -109,17 +109,29 @@ def decode_pack_npz(
 
 def decode_pack_arrays(
     t: np.ndarray, x: np.ndarray, y: np.ndarray, p: np.ndarray,
-    bucket: int, ts_mult: float = 1e6,
+    bucket: int, ts_mult: float = 1e6, out: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int, int]:
     """Pre-decoded HREM columns (int64 t / int16 x,y / int8 p) →
-    (padded [bucket,4] float32, n_valid, dropped)."""
+    (padded [bucket,4] float32, n_valid, dropped).
+
+    ``out``: optional preallocated [bucket,4] float32 C-contiguous buffer
+    to write into (a warm pooled page beats a fresh 4 MB mmap on the
+    host-bottleneck path — docs/PERF.md round 4); ignored on the numpy
+    fallback path, which allocates."""
     t = np.ascontiguousarray(t, np.int64)
     x = np.ascontiguousarray(x, np.int16)
     y = np.ascontiguousarray(y, np.int16)
     p = np.ascontiguousarray(p, np.int8)
     lib = _build_and_load()
     if lib is not None:
-        out = np.empty((bucket, 4), np.float32)
+        if out is not None:
+            assert (
+                out.shape == (bucket, 4)
+                and out.dtype == np.float32
+                and out.flags.c_contiguous
+            ), "out must be a C-contiguous [bucket,4] float32 buffer"
+        else:
+            out = np.empty((bucket, 4), np.float32)
         n_valid = ctypes.c_longlong()
         n_dropped = ctypes.c_longlong()
         rc = lib.decode_pack_i64(

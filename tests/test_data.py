@@ -130,6 +130,50 @@ def test_collate_and_prefetch():
     assert batches[0]["a"].shape == (4, 2)
 
 
+def test_arena_collate_matches_collate_and_rotates():
+    """ArenaCollate: identical batches to plain collate; a slot's buffers
+    are only reused after ``slots`` further calls (in-flight safety)."""
+    from eemflow_tpu.data.loader import ArenaCollate
+
+    rng = np.random.default_rng(3)
+
+    def mk(n):
+        return [
+            {"events_old": rng.standard_normal((n + 7 * i, 4)).astype(np.float32),
+             "flow": rng.standard_normal((4, 4, 2)).astype(np.float32),
+             "idx": i}
+            for i in range(3)
+        ]
+
+    ac = ArenaCollate(round_up=lambda n: ((n + 15) // 16) * 16, slots=2)
+    s1 = mk(20)
+    b1 = ac(s1)
+    ref = collate(s1, round_up=lambda n: ((n + 15) // 16) * 16)
+    assert b1["events_old"].shape == ref["events_old"].shape == (3, 48, 4)
+    np.testing.assert_array_equal(b1["events_old"], ref["events_old"])
+    np.testing.assert_array_equal(b1["flow"], ref["flow"])
+
+    b2 = ac(mk(20))  # second call: a DIFFERENT slot's buffer
+    assert b2["events_old"] is not b1["events_old"]
+    b3 = ac(mk(20))  # third call (slots=2): slot 0's buffer comes back
+    assert b3["events_old"] is b1["events_old"]
+    # padded tail is re-zeroed on refill
+    assert float(np.abs(b3["events_old"][0, 20:]).sum()) == 0.0
+
+
+def test_buffer_pool_rotation_and_warmth():
+    from eemflow_tpu.events.voxel import BufferPool
+
+    pool = BufferPool(ring=2)
+    a = pool.get(64)
+    b = pool.get(64)
+    assert a is not b and a.shape == (64, 4) and a.dtype == np.float32
+    c = pool.get(64)  # ring exhausted → recycles the oldest
+    assert c is a
+    d = pool.get(128)  # different bucket → its own ring
+    assert d.shape == (128, 4) and d is not a
+
+
 def _write_hrem_sample(d, h=64, w=96, n_events=500):
     os.makedirs(d, exist_ok=True)
     rng = np.random.default_rng(hash(d) % 2**31)

@@ -118,10 +118,15 @@ def main() -> None:
 
     init_distributed()  # multi-host no-op unless a launcher provides coords
     mesh = make_mesh(n_spatial=1)
+    from eemflow_tpu.data.loader import ArenaCollate
+
     batches = prefetch(
         batch_iterator(
             dataset, args.batch_size, shuffle=True, seed=args.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
+            # rotating warm collate buffers: slots = prefetch depth + 2 so a
+            # batch still queued or mid-transfer is never overwritten
+            collate_fn=ArenaCollate(slots=4),
         )
     )
 
