@@ -110,15 +110,18 @@ def make_device_preprocess(
     ([B, H', W', bins] NHWC) added; raw-event keys are dropped from the
     result so the model step sees the same contract as the host path.
 
-    ``banks=0`` (auto) picks the bank-split scatter (banks=2, measured
-    1.47× faster on v5e — tools/tpu_battery.py) on accelerator backends
-    and the single-buffer scatter on CPU, where bank-splitting loses and
-    bit-parity with the host voxelizer is the test contract.  Pass
-    ``banks=1`` to force the bit-exact path anywhere; differences are
-    fp-addition reordering of per-cell vote sums only.
+    ``banks=0`` (auto) picks the single-buffer two-scatter form
+    everywhere: the round-3 measurement that motivated a banks=2
+    accelerator default (3.15 vs 4.62 ms/frame) did not reproduce —
+    round 4 measures banks=1 at 2.34/2.43 ms/frame vs banks=2 at
+    3.12/3.18 across two sessions (tools/tpu_battery.py; the round-3
+    banks=1 figure was a single-rep outlier right after a tunnel
+    outage).  The banked variant stays available for explicit A/Bs
+    (``banks>1``); differences vs banks=1 are fp-addition reordering of
+    per-cell vote sums only.
     """
     if banks == 0:
-        banks = 2 if jax.default_backend() != "cpu" else 1
+        banks = 1
 
     def preprocess(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         if "events_old" not in batch:
