@@ -92,11 +92,61 @@ def main_plus():
     print(f"eemflow_plus golden AEE = {aee}")
 
 
+def _main_zoo(model_name, oracle_ctor, seed, ckpt_name, golden_name,
+              ckpt_style="state_dict"):
+    """Shared generator for the GRU/transformer-family goldens (VERDICT r3
+    item 8): fixed-seed oracle → reference-style .pth.tar → REAL CLI at
+    protocol resolution → pinned AEE, one sample (CPU forwards at 720p are
+    minutes per family)."""
+    from test_golden_acceptance import make_hrem_fixture, run_cli
+
+    torch.manual_seed(seed)
+    oracle = oracle_ctor().eval()
+    sd = {"module." + k: v for k, v in oracle.state_dict().items()}
+    ckpt = os.path.join(HERE, ckpt_name)
+    torch.save({ckpt_style: sd} if ckpt_style else sd, ckpt)
+
+    root = make_hrem_fixture("/tmp/golden_gen")
+    aee = run_cli(root, ckpt, f"/tmp/golden_gen/out_{model_name}",
+                  extra_args=("--max_samples", "1"), model=model_name)
+    with open(os.path.join(HERE, golden_name), "w") as f:
+        json.dump({"model": model_name, "aee": aee, "torch_seed": seed,
+                   "fixture_seed": 99, "max_samples": 1}, f, indent=2)
+    print(f"{model_name} golden AEE = {aee}")
+
+
+def main_gma():
+    from torch_oracles import OracleGMA
+
+    _main_zoo("gma", lambda: OracleGMA(n_first_channels=5), 2024,
+              "gma_hrem_golden.pth.tar", "hrem_golden_gma.json")
+
+
+def main_gmflow():
+    from torch_oracles import OracleGMFlow
+
+    _main_zoo("gmflow", lambda: OracleGMFlow(cin=5), 2025,
+              "gmflow_hrem_golden.pth.tar", "hrem_golden_gmflow.json")
+
+
+def main_flowformer():
+    from torch_oracles import OracleFlowFormer
+
+    _main_zoo("flowformer", lambda: OracleFlowFormer(cin=5), 2026,
+              "flowformer_hrem_golden.pth.tar", "hrem_golden_flowformer.json")
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--eraft" in _sys.argv:
         main_eraft()
     elif "--plus" in _sys.argv:
         main_plus()
+    elif "--gma" in _sys.argv:
+        main_gma()
+    elif "--gmflow" in _sys.argv:
+        main_gmflow()
+    elif "--flowformer" in _sys.argv:
+        main_flowformer()
     else:
         main()

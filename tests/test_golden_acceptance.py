@@ -147,5 +147,43 @@ def test_golden_acceptance_eemflow_plus_cli(tmp_path):
     )
 
 
+def _zoo_golden(tmp_path, model, ckpt_name, golden_name):
+    """Shared body for the GRU/transformer-family goldens (VERDICT r3 item
+    8): converted reference-style checkpoint → REAL CLI at protocol
+    resolution → pinned AEE, one sample."""
+    ckpt = os.path.join(HERE, "fixtures", ckpt_name)
+    golden_path = os.path.join(HERE, "fixtures", golden_name)
+    with open(golden_path) as f:
+        golden = json.load(f)
+    root = make_hrem_fixture(str(tmp_path), seed=golden["fixture_seed"])
+    aee = run_cli(root, ckpt, str(tmp_path / "out"),
+                  extra_args=("--max_samples", str(golden["max_samples"])),
+                  model=model)
+    assert abs(aee - golden["aee"]) < 0.01, (
+        f"{model} golden AEE drifted: got {aee}, committed {golden['aee']}"
+    )
+
+
+@pytest.mark.zoo
+def test_golden_acceptance_gma_cli(tmp_path):
+    """GMA (GRU family + global motion aggregation attention)."""
+    _zoo_golden(tmp_path, "gma", "gma_hrem_golden.pth.tar",
+                "hrem_golden_gma.json")
+
+
+@pytest.mark.zoo
+def test_golden_acceptance_gmflow_cli(tmp_path):
+    """GMFlow (transformer family: swin attention + global matching)."""
+    _zoo_golden(tmp_path, "gmflow", "gmflow_hrem_golden.pth.tar",
+                "hrem_golden_gmflow.json")
+
+
+@pytest.mark.zoo
+def test_golden_acceptance_flowformer_cli(tmp_path):
+    """FlowFormer (latent cost tokens — the biggest zoo net)."""
+    _zoo_golden(tmp_path, "flowformer", "flowformer_hrem_golden.pth.tar",
+                "hrem_golden_flowformer.json")
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
