@@ -79,7 +79,10 @@ def _conv(plane, w, b, kh, kw, compute_dtype, keep):
     tap matmuls; re-zeroes out-of-image positions afterwards.
 
     plane: (R, Wp, Cin) with all out-of-image entries zero.  w: tap-major
-    (kh·kw·Cin, Cout).  keep: (R, Wp) bool in-image mask."""
+    (kh·kw·Cin, Cout).  keep: (R, Wp, 1) fp32 {0,1} in-image mask — fp32
+    because Mosaic cannot insert a minor dim on i1 vectors ("Insertion of
+    minor dim that is not a no-op only supported for 32-bit types"), so
+    masking is multiplicative, never a bool ``where``."""
     R, Wp, C = plane.shape
     gh, gw = kh // 2, kw // 2
     rows, cols = R - 2 * gh, Wp - 2 * gw
@@ -100,7 +103,7 @@ def _conv(plane, w, b, kh, kw, compute_dtype, keep):
     y = jnp.pad(
         y.reshape(rows, cols, cout), ((gh, gh), (gw, gw), (0, 0))
     )
-    return jnp.where(keep[:, :, None], y, 0.0)
+    return y * keep
 
 
 def _band(prev, cur, nxt, halo, i, tile_rows, H, m):
@@ -110,20 +113,23 @@ def _band(prev, cur, nxt, halo, i, tile_rows, H, m):
         [prev[0, -halo:], cur[0], nxt[0, :halo]], axis=0
     ).astype(jnp.float32)
     rows0 = (
-        jax.lax.broadcasted_iota(jnp.int32, band.shape[:2], 0)
+        jax.lax.broadcasted_iota(jnp.int32, band.shape[:2] + (1,), 0)
         + i * tile_rows - halo
     )
-    band = jnp.where(((rows0 >= 0) & (rows0 < H))[:, :, None], band, 0.0)
+    rmask = ((rows0 >= 0) & (rows0 < H)).astype(jnp.float32)
+    band = band * rmask
     return jnp.pad(band, ((0, 0), (m, m), (0, 0)))
 
 
 def _keep_mask(R, Wp, W, m, i, tile_rows, H, halo):
+    """(R, Wp, 1) fp32 {0,1} in-image mask (see ``_conv`` for why fp32)."""
     rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (R, Wp, 1), 0)
         + i * tile_rows - halo
     )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
-    return (rows >= 0) & (rows < H) & (cols >= m) & (cols < m + W)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp, 1), 1)
+    keep = (rows >= 0) & (rows < H) & (cols >= m) & (cols < m + W)
+    return keep.astype(jnp.float32)
 
 
 def _motion_kernel(tile_rows, H, W, compute_dtype, *refs):
@@ -160,7 +166,6 @@ def _gru_kernel(tile_rows, H, W, compute_dtype, *refs):
     mot = _band(mp, mc, mn, h, i, tile_rows, H, m)
     R, Wp, _ = net.shape
     keep = _keep_mask(R, Wp, W, m, i, tile_rows, H, h)
-    keep3 = keep[:, :, None]
 
     x = jnp.concatenate([inp, mot], axis=-1)
 
@@ -170,7 +175,7 @@ def _gru_kernel(tile_rows, H, W, compute_dtype, *refs):
         r = jax.nn.sigmoid(_conv(hx, wr, br, kh, kw, compute_dtype, keep))
         rx = jnp.concatenate([r * hcur, x], axis=-1)
         q = jnp.tanh(_conv(rx, wq, bq, kh, kw, compute_dtype, keep))
-        return jnp.where(keep3, (1.0 - z) * hcur + z * q, 0.0)
+        return ((1.0 - z) * hcur + z * q) * keep
 
     h1 = stage(net, 1, 5, wz1[:], bz1[:], wr1[:], br1[:], wq1[:], bq1[:])
     h2 = stage(h1, 5, 1, wz2[:], bz2[:], wr2[:], br2[:], wq2[:], bq2[:])
@@ -220,6 +225,14 @@ def _interp():
     return jax.default_backend() == "cpu"
 
 
+# Mosaic's default scoped-VMEM budget is 16 MB; these kernels' row bands +
+# unrolled tap-matmul temporaries need ~39 MB at the 512×960 (/8 = 64×120)
+# point.  The v5e's physical VMEM is 128 MB, so raising the per-kernel
+# limit is the correct fix (measured compile+run OK at 48 MB, round 4) —
+# not shrinking tiles below the halo.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def motion_encoder_fused(corr, flow, weights, compute_dtype=jnp.float32,
                          interpret: bool = False):
     """corr [B,H,W,Cc], flow [B,H,W,2] → motion [B,H,W,126+2], fp32."""
@@ -241,6 +254,7 @@ def motion_encoder_fused(corr, flow, weights, compute_dtype=jnp.float32,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, cout), jnp.float32),
         interpret=interpret or _interp(),
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
@@ -269,6 +283,7 @@ def gru_flowhead_fused(net, inp, motion, weights,
             jax.ShapeDtypeStruct((B, H, W, 2), jnp.float32),
         ],
         interpret=interpret or _interp(),
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
