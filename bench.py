@@ -273,6 +273,44 @@ def _serving_sustained(extra, rng):
         B / max(t_dev_batch, t_host_frame * B), 2
     )
 
+    # ---- stream with volume REUSE: in a dt1 stream, window i's grid is
+    # window i+1's "old" grid, so steady state voxelizes ONCE per frame,
+    # not twice — the scan carries the previous voxel grid (the
+    # tools/serve.py --stream deployment shape; round-4 lever) ----
+    from eemflow_tpu.events.voxel import voxelize_batch_nhwc
+
+    def make_reuse(k):
+        def f(v, estack, nstack):
+            vol0 = voxelize_batch_nhwc(estack[0], nstack[0], bins, H, W)
+
+            def body(carry, i):
+                acc, vol_prev = carry
+                vol_new = voxelize_batch_nhwc(
+                    jax.lax.dynamic_index_in_dim(
+                        estack, (i + 1) % KB, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(
+                        nstack, (i + 1) % KB, keepdims=False),
+                    bins, H, W,
+                )
+                _, flows = model.apply(v, vol_prev, vol_new)
+                return (acc + flows[-1].mean().astype(jnp.float32),
+                        vol_new), None
+
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), vol0), jnp.arange(k)
+            )
+            return acc
+
+        return jax.jit(f)
+
+    t1 = _fetch_time(make_reuse(3), (var_init, evs, nss), reps=5)
+    t2 = _fetch_time(make_reuse(15), (var_init, evs, nss), reps=5)
+    t_reuse_frame = (t2 - t1) / 12 / B
+    extra["serving_stream_reuse_device_ms_per_frame"] = round(
+        t_reuse_frame * 1e3, 3
+    )
+    extra["serving_stream_reuse_device_fps"] = round(1.0 / t_reuse_frame, 2)
+
     # ---- aggregated serving (THE throughput deployment shape): a backlog
     # chunk of independent frames UNROLLED into one program.  A scan would
     # serialize the per-chain scatter+copies; unrolled, XLA overlaps one
@@ -315,21 +353,13 @@ def _serving_sustained(extra, rng):
     extra["serving_agg_device_ms_per_frame"] = round(t_dev_frame * 1e3, 3)
     extra["serving_agg_device_fps"] = round(1.0 / t_dev_frame, 2)
 
-    # fused-serving variant (Pallas coarse head + fused pyramid, f32 —
-    # parity to fp noise): headlines when faster
-    try:
-        fmodel = EEMFlow(fast_head=True, fast_pyramid=True)
-        t1 = _fetch_time(make_agg(3, fmodel), (var_init, evs_agg, nss_agg),
-                         reps=5)
-        t2 = _fetch_time(make_agg(K_AGG, fmodel),
-                         (var_init, evs_agg, nss_agg), reps=5)
-        t_fast = (t2 - t1) / (K_AGG - 3) / B
-        extra["serving_agg_fast_device_ms_per_frame"] = round(t_fast * 1e3, 3)
-        extra["serving_agg_fast_device_fps"] = round(1.0 / t_fast, 2)
-        t_dev_frame = min(t_dev_frame, t_fast)
-    except Exception as e:
-        extra["serving_fast_error"] = repr(e)[:160]
+    # (the Pallas fast-serving variant was A/B'd on hardware in round 4 and
+    # LOST — 114 vs 207 fps; retired to the docs/PERF.md negative-results
+    # ledger, kernels remain constructor opt-ins)
 
+    # headline device leg: best honest deployment shape — backlog
+    # aggregation vs dt1 stream with volume reuse
+    t_dev_frame = min(t_dev_frame, t_reuse_frame)
     fps = 1.0 / max(t_dev_frame, t_host_frame)
     extra["serving_bottleneck"] = (
         "device" if t_dev_frame >= t_host_frame else

@@ -98,5 +98,88 @@ def test_serve_cli_matches_inprocess_forward(tmp_path):
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+def _stream_fixture(base, n_windows=4, n_events=5000):
+    """Consecutive dt1 stream: sample i = (window i, window i+1), so
+    sample i's events2 IS sample i+1's events1."""
+    rng = np.random.default_rng(23)
+    windows = []
+    for _ in range(n_windows):
+        windows.append(dict(
+            x=rng.integers(0, W, n_events).astype(np.int32),
+            y=rng.integers(0, H, n_events).astype(np.int32),
+            t=np.sort(rng.integers(0, 10**9, n_events)).astype(np.int64),
+            p=rng.integers(0, 2, n_events).astype(np.int8),
+        ))
+    roots = []
+    for i in range(n_windows - 1):
+        d = os.path.join(base, f"{i:05d}")
+        os.makedirs(d, exist_ok=True)
+        np.savez(os.path.join(d, "events1.npz"), **windows[i])
+        np.savez(os.path.join(d, "events2.npz"), **windows[i + 1])
+        roots.append(d)
+    return roots
+
+
+@pytest.mark.zoo
+def test_serve_cli_stream_mode_matches_pair_forward(tmp_path):
+    """--stream (carry the previous voxel grid, one scatter per frame)
+    must produce the same flows as the pair path on a consecutive
+    stream — volume reuse is a scheduling change, not a numeric one."""
+    samples = _stream_fixture(str(tmp_path / "data"))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "serve.py"),
+        "-model", "eemflow", "--checkpoint", CKPT,
+        "--data_root", str(tmp_path / "data"),
+        "--size", str(H), str(W), "--bucket_size", str(BUCKET),
+        "--stream", "--warmup", "0", "--out_dir", out_dir,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
+    )
+    assert proc.returncode == 0, f"serve failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "stream" in proc.stdout
+
+    import jax.numpy as jnp
+
+    from eemflow_tpu.compat.torch_loader import (
+        convert_for_model,
+        load_torch_checkpoint,
+    )
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.events.io import read_flo
+    from eemflow_tpu.models import get_eval_model
+    from eemflow_tpu.native import decode_pack_npz
+
+    sd = {k: v for k, v in load_torch_checkpoint(CKPT).items()
+          if k != "index"}
+    variables = convert_for_model("eemflow", sd)
+    model = get_eval_model("eemflow")
+    pre = make_device_preprocess(5, H, W)
+
+    for d in samples:
+        packed = []
+        for f in ("events1.npz", "events2.npz"):
+            with np.load(os.path.join(d, f)) as npz:
+                packed.append(decode_pack_npz(npz, BUCKET))
+        batch = pre({
+            "events_old": jnp.asarray(packed[0][0])[None],
+            "events_new": jnp.asarray(packed[1][0])[None],
+            "n_old": jnp.asarray([packed[0][1]], jnp.int32),
+            "n_new": jnp.asarray([packed[1][1]], jnp.int32),
+        })
+        _, preds = model.apply(
+            variables, batch["event_volume_old"], batch["event_volume_new"]
+        )
+        expected = np.asarray(preds[-1][0])
+        name = os.path.relpath(d, str(tmp_path / "data")).replace(
+            os.sep, "_"
+        )
+        got = read_flo(os.path.join(out_dir, name + ".flo"))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

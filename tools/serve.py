@@ -68,6 +68,13 @@ def main() -> None:
                    help="write <sample>.flo final flows here")
     p.add_argument("--viz", action="store_true",
                    help="also write flow-colorwheel PNGs (needs --out_dir)")
+    p.add_argument("--stream", action="store_true",
+                   help="treat the sample list as ONE consecutive dt1 "
+                   "stream: voxelize only each sample's events2 and reuse "
+                   "the previous voxel grid as the old volume (sample i's "
+                   "events2 must equal sample i+1's events1 — the HREM/"
+                   "MVSEC dt1 layout). Steady state runs one scatter per "
+                   "frame instead of two; requires --batch 1")
     args = p.parse_args()
 
     import jax
@@ -93,6 +100,13 @@ def main() -> None:
         raise SystemExit(f"no events1.npz/events2.npz pairs under "
                          f"{args.data_root}")
 
+    if args.stream and B != 1:
+        raise SystemExit("--stream serves one consecutive stream; use "
+                         "--batch 1")
+    if args.stream and args.shard:
+        raise SystemExit("--stream carries device state between frames and "
+                         "cannot be combined with --shard")
+
     kwargs = fast_eval_kwargs(args.model) if args.fast else {}
     model = get_eval_model(args.model, **kwargs)
     pre = make_device_preprocess(args.bins, H, W)
@@ -107,6 +121,24 @@ def main() -> None:
         return preds[-1].astype(jnp.float32)
 
     step = jax.jit(apply_fn)
+
+    if args.stream:
+        from eemflow_tpu.events.voxel import voxelize_batch_nhwc
+
+        def vox_fn(ev, n):
+            return voxelize_batch_nhwc(ev, n, args.bins, H, W)
+
+        vox = jax.jit(vox_fn)
+
+        def stream_step_fn(v, vol_prev, ev_new, n_new):
+            vol_new = vox_fn(ev_new, n_new)
+            a, b = vol_prev, vol_new
+            if args.bf16:
+                a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+            _, preds = model.apply(v, a, b)
+            return preds[-1].astype(jnp.float32), vol_new
+
+        stream_step = jax.jit(stream_step_fn)
 
     # ---- params ----
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pth.tar",
@@ -193,6 +225,22 @@ def main() -> None:
             t_host += time.perf_counter() - t0
             yield group, ev1, ev2, n1, n2, t_host
 
+    def decode_iter_stream():
+        # one stream: each sample contributes only its NEW window; the
+        # previous voxel grid stays resident on device (steady state =
+        # one scatter + one forward per frame)
+        t_host = 0.0
+        for s in order:
+            t0 = time.perf_counter()
+            with np.load(os.path.join(s, "events2.npz")) as npz:
+                ev, n, drops = decode_pack_npz(npz, args.bucket_size)
+            if drops:
+                dropped_total[0] += drops
+                dropped_total[1] += 1
+            t_host += time.perf_counter() - t0
+            yield [s], ev[None], None, np.asarray([n], np.int32), None, \
+                t_host
+
     os.makedirs(args.out_dir, exist_ok=True) if args.out_dir else None
 
     n_frames = 0
@@ -226,16 +274,28 @@ def main() -> None:
                     )
 
     done_warm = 0
-    for group, ev1, ev2, n1, n2, t_host_total in prefetch(decode_iter(),
-                                                          depth=2):
+    vol_prev = None
+    if args.stream:
+        # prime the carried grid from the first sample's OLD window
+        with np.load(os.path.join(order[0], "events1.npz")) as npz:
+            ev0, n0, _ = decode_pack_npz(npz, args.bucket_size)
+        vol_prev = vox(jnp.asarray(ev0[None]),
+                       jnp.asarray(np.asarray([n0], np.int32)))
+    batches = decode_iter_stream() if args.stream else decode_iter()
+    for group, ev1, ev2, n1, n2, t_host_total in prefetch(batches, depth=2):
         t0 = time.perf_counter()
-        if in_shard is not None:
-            ev1, ev2, n1, n2 = (jax.device_put(t, in_shard)
-                                for t in (ev1, ev2, n1, n2))
+        if args.stream:
+            flow_dev, vol_prev = stream_step(
+                variables, vol_prev, jnp.asarray(ev1), jnp.asarray(n1)
+            )
         else:
-            ev1, ev2, n1, n2 = (jnp.asarray(t)
-                                for t in (ev1, ev2, n1, n2))
-        flow_dev = step(variables, ev1, ev2, n1, n2)
+            if in_shard is not None:
+                ev1, ev2, n1, n2 = (jax.device_put(t, in_shard)
+                                    for t in (ev1, ev2, n1, n2))
+            else:
+                ev1, ev2, n1, n2 = (jnp.asarray(t)
+                                    for t in (ev1, ev2, n1, n2))
+            flow_dev = step(variables, ev1, ev2, n1, n2)
         t_dispatch += time.perf_counter() - t0
         if pending is not None:
             drain(pending)
@@ -268,6 +328,7 @@ def main() -> None:
     host_ms = (t_host_total - t_host_base) * 1e3 / max(n_frames, 1)
     print(
         f"{args.model} serve @{H}x{W} b={B}"
+        f"{' stream' if args.stream else ''}"
         f"{' fast' if args.fast else ''}{' bf16' if args.bf16 else ''}: "
         f"{n_frames} frames in {wall:.2f}s = {n_frames / wall:.1f} fps wall "
         f"(host decode {host_ms:.2f} ms/frame, "
