@@ -101,5 +101,68 @@ def test_native_builds_and_is_faster():
     assert t_native < t_numpy, (t_native, t_numpy)
 
 
+def test_host_voxelizer_matches_numpy_twin():
+    """Native sparse voxelizer vs events_to_voxel_grid_np (itself
+    reference-parity, tests/test_voxel.py): f32-accumulation noise only."""
+    from eemflow_tpu.events.voxel import events_to_voxel_grid_np
+    from eemflow_tpu.native import HostVoxelizer, decode_pack_arrays
+
+    rng = np.random.default_rng(11)
+    H, W, bins, n = 96, 128, 5, 4000
+    t = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    x = rng.integers(0, W, n).astype(np.int16)
+    y = rng.integers(0, H, n).astype(np.int16)
+    p = rng.integers(0, 2, n).astype(np.int8)
+    rows, nv, _ = decode_pack_arrays(t, x, y, p, 8192)
+    ref = events_to_voxel_grid_np(rows[:nv].astype(np.float64), bins, H, W)
+
+    vox = HostVoxelizer(bins, H, W)
+    np.testing.assert_allclose(vox(rows, nv), ref, atol=2e-5)
+
+    # NHWC-native layout == transpose of the CHW grid
+    voxn = HostVoxelizer(bins, H, W, nhwc=True)
+    np.testing.assert_allclose(
+        voxn(rows, nv), ref.transpose(1, 2, 0), atol=2e-5
+    )
+
+
+def test_host_voxelizer_ring_reuse_and_edge_cases():
+    from eemflow_tpu.events.voxel import events_to_voxel_grid_np
+    from eemflow_tpu.native import HostVoxelizer, decode_pack_arrays
+
+    rng = np.random.default_rng(12)
+    H, W, bins = 64, 80, 5
+    vox = HostVoxelizer(bins, H, W, ring=2)
+
+    # zero events → all-zero finite grid (reference NaNs here; pinned fix)
+    g0 = vox(np.zeros((8, 4), np.float32), 0)
+    assert np.isfinite(g0).all() and np.abs(g0).max() == 0.0
+
+    # ring slots are re-zeroed on reuse: hammer distinct inputs through a
+    # 2-slot ring and re-verify each against the twin computed fresh
+    inputs = []
+    for i in range(5):
+        n = 500 + 97 * i
+        t = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+        x = rng.integers(0, W, n).astype(np.int16)
+        y = rng.integers(0, H, n).astype(np.int16)
+        p = rng.integers(0, 2, n).astype(np.int8)
+        inputs.append(decode_pack_arrays(t, x, y, p, 2048)[:2])
+    for rows, nv in inputs * 2:
+        got = vox(rows, nv)
+        ref = events_to_voxel_grid_np(
+            rows[:nv].astype(np.float64), bins, H, W
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # identical-timestamp events (deltaT=0 defect, pinned): finite
+    rows = np.zeros((16, 4), np.float32)
+    rows[:, 1] = np.arange(16) % W
+    rows[:, 2] = np.arange(16) // W
+    rows[:, 3] = 1.0
+    g = vox(rows, 16)
+    assert np.isfinite(g).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -181,5 +181,60 @@ def test_serve_cli_stream_mode_matches_pair_forward(tmp_path):
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+@pytest.mark.zoo
+def test_serve_cli_host_voxelize_matches_inprocess(tmp_path):
+    """--host_voxelize (native C++ sparse voxelizer on the prefetch
+    thread, device forward-only) must reproduce the in-process forward on
+    the same host-voxelized volumes."""
+    samples = _fixture(str(tmp_path / "data"), n_samples=2)
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "serve.py"),
+        "-model", "eemflow", "--checkpoint", CKPT,
+        "--data_root", str(tmp_path / "data"),
+        "--size", str(H), str(W), "--bucket_size", str(BUCKET),
+        "--host_voxelize", "--warmup", "0", "--out_dir", out_dir,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
+    )
+    assert proc.returncode == 0, f"serve failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "hostvox" in proc.stdout
+
+    import jax.numpy as jnp
+
+    from eemflow_tpu.compat.torch_loader import (
+        convert_for_model,
+        load_torch_checkpoint,
+    )
+    from eemflow_tpu.events.io import read_flo
+    from eemflow_tpu.models import get_eval_model
+    from eemflow_tpu.native import HostVoxelizer, decode_pack_npz
+
+    sd = {k: v for k, v in load_torch_checkpoint(CKPT).items()
+          if k != "index"}
+    variables = convert_for_model("eemflow", sd)
+    model = get_eval_model("eemflow")
+    hvox = HostVoxelizer(5, H, W, nhwc=True)
+
+    for d in samples:
+        vols = []
+        for f in ("events1.npz", "events2.npz"):
+            with np.load(os.path.join(d, f)) as npz:
+                rows, nv, _ = decode_pack_npz(npz, BUCKET)
+            vols.append(hvox(rows, nv).copy())
+        _, preds = model.apply(
+            variables, jnp.asarray(vols[0])[None], jnp.asarray(vols[1])[None]
+        )
+        expected = np.asarray(preds[-1][0])
+        name = os.path.relpath(d, str(tmp_path / "data")).replace(
+            os.sep, "_"
+        )
+        got = read_flo(os.path.join(out_dir, name + ".flo"))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -75,6 +75,12 @@ def main() -> None:
                    "events2 must equal sample i+1's events1 — the HREM/"
                    "MVSEC dt1 layout). Steady state runs one scatter per "
                    "frame instead of two; requires --batch 1")
+    p.add_argument("--host_voxelize", action="store_true",
+                   help="voxelize on host prefetch cores (native C++ "
+                   "sparse voxelizer) instead of on device — the "
+                   "reference's own deployment shape (CPU dataloader "
+                   "workers voxelize); leaves the device critical path "
+                   "at forward-only. Composable with --stream")
     args = p.parse_args()
 
     import jax
@@ -106,6 +112,9 @@ def main() -> None:
     if args.stream and args.shard:
         raise SystemExit("--stream carries device state between frames and "
                          "cannot be combined with --shard")
+    if args.host_voxelize and args.shard:
+        raise SystemExit("--host_voxelize feeds dense volumes through the "
+                         "single-device path; drop --shard")
 
     kwargs = fast_eval_kwargs(args.model) if args.fast else {}
     model = get_eval_model(args.model, **kwargs)
@@ -121,6 +130,24 @@ def main() -> None:
         return preds[-1].astype(jnp.float32)
 
     step = jax.jit(apply_fn)
+
+    hvox = None
+    if args.host_voxelize:
+        from eemflow_tpu.native import HostVoxelizer
+
+        # ring must outlive the prefetch window (depth 2 batches of up to
+        # 2B grids each, plus the one being built)
+        hvox = HostVoxelizer(args.bins, H, W, nhwc=True,
+                             ring=4 * max(B, 1) + 4)
+
+        def apply_vols_fn(v, vol1, vol2):
+            if args.bf16:
+                vol1 = vol1.astype(jnp.bfloat16)
+                vol2 = vol2.astype(jnp.bfloat16)
+            _, preds = model.apply(v, vol1, vol2)
+            return preds[-1].astype(jnp.float32)
+
+        vol_step = jax.jit(apply_vols_fn)
 
     if args.stream:
         from eemflow_tpu.events.voxel import voxelize_batch_nhwc
@@ -139,6 +166,15 @@ def main() -> None:
             return preds[-1].astype(jnp.float32), vol_new
 
         stream_step = jax.jit(stream_step_fn)
+
+        def stream_step_hostvol_fn(v, vol_prev, vol_new):
+            a, b = vol_prev, vol_new
+            if args.bf16:
+                a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+            _, preds = model.apply(v, a, b)
+            return preds[-1].astype(jnp.float32)
+
+        stream_step_hostvol = jax.jit(stream_step_hostvol_fn)
 
     # ---- params ----
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pth.tar",
@@ -218,6 +254,14 @@ def main() -> None:
                     dropped_total[1] += 1
                 evs.append((pair[0][0], pair[1][0]))
                 ns.append((pair[0][1], pair[1][1]))
+            if hvox is not None:
+                vol1 = np.stack([hvox(e[0], n[0])
+                                 for e, n in zip(evs, ns)])
+                vol2 = np.stack([hvox(e[1], n[1])
+                                 for e, n in zip(evs, ns)])
+                t_host += time.perf_counter() - t0
+                yield group, vol1, vol2, None, None, t_host
+                continue
             ev1 = np.stack([e[0] for e in evs])
             ev2 = np.stack([e[1] for e in evs])
             n1 = np.asarray([n[0] for n in ns], np.int32)
@@ -237,6 +281,11 @@ def main() -> None:
             if drops:
                 dropped_total[0] += drops
                 dropped_total[1] += 1
+            if hvox is not None:
+                vol = hvox(ev, n)[None]
+                t_host += time.perf_counter() - t0
+                yield [s], vol, None, None, None, t_host
+                continue
             t_host += time.perf_counter() - t0
             yield [s], ev[None], None, np.asarray([n], np.int32), None, \
                 t_host
@@ -279,14 +328,25 @@ def main() -> None:
         # prime the carried grid from the first sample's OLD window
         with np.load(os.path.join(order[0], "events1.npz")) as npz:
             ev0, n0, _ = decode_pack_npz(npz, args.bucket_size)
-        vol_prev = vox(jnp.asarray(ev0[None]),
-                       jnp.asarray(np.asarray([n0], np.int32)))
+        if hvox is not None:
+            vol_prev = jnp.asarray(hvox(ev0, n0)[None])
+        else:
+            vol_prev = vox(jnp.asarray(ev0[None]),
+                           jnp.asarray(np.asarray([n0], np.int32)))
     batches = decode_iter_stream() if args.stream else decode_iter()
     for group, ev1, ev2, n1, n2, t_host_total in prefetch(batches, depth=2):
         t0 = time.perf_counter()
-        if args.stream:
+        if args.stream and hvox is not None:
+            vol_new = jnp.asarray(ev1)  # [1, H, W, bins] host grid
+            flow_dev = stream_step_hostvol(variables, vol_prev, vol_new)
+            vol_prev = vol_new
+        elif args.stream:
             flow_dev, vol_prev = stream_step(
                 variables, vol_prev, jnp.asarray(ev1), jnp.asarray(n1)
+            )
+        elif hvox is not None:
+            flow_dev = vol_step(
+                variables, jnp.asarray(ev1), jnp.asarray(ev2)
             )
         else:
             if in_shard is not None:
@@ -329,6 +389,7 @@ def main() -> None:
     print(
         f"{args.model} serve @{H}x{W} b={B}"
         f"{' stream' if args.stream else ''}"
+        f"{' hostvox' if args.host_voxelize else ''}"
         f"{' fast' if args.fast else ''}{' bf16' if args.bf16 else ''}: "
         f"{n_frames} frames in {wall:.2f}s = {n_frames / wall:.1f} fps wall "
         f"(host decode {host_ms:.2f} ms/frame, "
