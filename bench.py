@@ -357,6 +357,40 @@ def _serving_sustained(extra, rng):
     # LOST — 114 vs 207 fps; retired to the docs/PERF.md negative-results
     # ledger, kernels remain constructor opt-ins)
 
+    # ---- host-voxelize deployment shape (serve.py --host_voxelize): the
+    # native sparse voxelizer runs on prefetch-worker cores — the
+    # reference's own shape (its DataLoader workers voxelize on CPU) —
+    # leaving the device at forward-only.  Reported as components: the
+    # measured per-core host cost, the forward-only device rate (the
+    # batched marginal measured above), and the worker count needed to
+    # saturate the chip; this VM has ONE core, so the combined number is
+    # not claimed as sustained here. ----
+    try:
+        from eemflow_tpu.native import HostVoxelizer, have_native
+
+        if have_native():
+            hv = HostVoxelizer(bins, H, W, nhwc=True)
+
+            def hostvox_leg():
+                for p in files:
+                    with np.load(p) as npz:
+                        rows, nv, _ = decode_pack_npz(npz, N_EV)
+                    hv(rows, nv)
+
+            hostvox_leg()  # warm
+            t0 = time.perf_counter()
+            hostvox_leg()
+            t_hv = (time.perf_counter() - t0) / len(files)
+            extra["serving_hostvox_host_ms_per_frame"] = round(t_hv * 1e3, 3)
+            fwd_fps = extra.get("batched_throughput_fps")
+            if fwd_fps:
+                extra["serving_hostvox_device_fps"] = fwd_fps
+                extra["serving_hostvox_host_cores_to_saturate"] = round(
+                    t_hv * fwd_fps, 2
+                )
+    except Exception as e:
+        extra["serving_hostvox_error"] = repr(e)[:160]
+
     # headline device leg: best honest deployment shape — backlog
     # aggregation vs dt1 stream with volume reuse
     t_dev_frame = min(t_dev_frame, t_reuse_frame)
@@ -527,26 +561,9 @@ def main() -> None:
         if peak:
             extra["mfu_bf16"] = round(flops / dt16 / 1e12 / peak, 4)
 
-    # ---- fused serving forward: Pallas coarse head + fused pyramid
-    # (ops/pallas/{coarse_head,fused_convs}.py; same params, f32 math
-    # parity to fp noise; _bf16 additionally casts the pyramid matmul
-    # operands, ~2e-3 px flow perturbation) ----
-    try:
-        fm = EEMFlow(fast_head=True, fast_pyramid=True)
-        fapply = lambda v, a, b: fm.apply(v, a, b)[1][-1]
-        dtf = _fwd_throughput(fapply, variables, bufs, 4, 24)
-        extra["eemflow_fwd_fast_fps"] = round(batch / dtf, 2)
-        if flops > 0:
-            extra["achieved_tflops_fast"] = round(flops / dtf / 1e12, 2)
-            if peak:
-                extra["mfu_fast"] = round(flops / dtf / 1e12 / peak, 4)
-        fmb = EEMFlow(fast_head=True, fast_pyramid=True,
-                      fast_pyramid_dtype="bf16")
-        fbapply = lambda v, a, b: fmb.apply(v, a, b)[1][-1]
-        dtfb = _fwd_throughput(fbapply, variables, bufs, 4, 24)
-        extra["eemflow_fwd_fast_bf16_fps"] = round(batch / dtfb, 2)
-    except Exception as e:
-        extra["fast_fwd_error"] = repr(e)[:160]
+    # (the Pallas fast-serving forwards — fast_head/fast_pyramid — were
+    # A/B'd on hardware in round 4 and LOST 114 vs 207 fps; retired to
+    # docs/PERF.md's negative-results ledger, kernels stay opt-ins)
 
     # ---- ERAFT fwd @512x960 b=1 (the reference's second harness) ----
     try:
@@ -569,18 +586,11 @@ def main() -> None:
         dtef = _fwd_throughput(efapply, ev_var, ebufs, 1, 9)
         extra["eraft_fwd_fast_fps_512x960_b1"] = round(1.0 / dtef, 2)
 
-        # + fused update block (two banded Pallas kernels per iteration,
-        # f32 math — the SURVEY north-star fusion; A/B candidate)
-        try:
-            emu = ERAFT(upsample_all=False, corr_fast=True,
-                        fused_update=True)
-            euapply = lambda v, a, b: emu.apply(v, a, b)[1][-1]
-            dteu = _fwd_throughput(euapply, ev_var, ebufs, 1, 9)
-            extra["eraft_fwd_fused_update_fps_512x960_b1"] = round(
-                1.0 / dteu, 2
-            )
-        except Exception as e:
-            extra["eraft_fused_update_error"] = repr(e)[:120]
+        # (the fused update block — ops/pallas/update_block.py — was
+        # A/B'd on hardware in round 4 once its Mosaic failures were
+        # fixed, and LOST: 19.9 vs 27.5 fps.  Retired to docs/PERF.md's
+        # negative-results ledger; `fused_update=True` stays a
+        # constructor opt-in.)
     except Exception as e:  # keep the headline alive on partial failure
         extra["eraft_error"] = repr(e)[:120]
 
