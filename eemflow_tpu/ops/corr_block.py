@@ -94,6 +94,12 @@ def _tap_matrix(pos: jax.Array, offs: jax.Array, size: int) -> jax.Array:
     return a0 + a1
 
 
+# (A shift-based tap build — one base one-hot pair + 2r+1 static slices,
+# ~9× fewer comparisons — was measured 1.8× SLOWER in-model: the
+# slice+stack pattern breaks XLA's tap-build/contraction fusion.
+# docs/PERF.md round 4; keep the direct iota build below.)
+
+
 def lookup_corr_pyramid_stacked(
     pyramid: List[jax.Array], coords: jax.Array, radius: int = 4
 ) -> jax.Array:
@@ -168,13 +174,15 @@ def lookup_corr_stack(
     ay = jnp.stack(ays, axis=1)  # [N, L, n, H0]
 
     c = stack.astype(jnp.float32)
+    # qliy intermediate for the same minor-dim reason as
+    # lookup_corr_pyramid (docs/PERF.md round 4)
     tmp = jnp.einsum(
-        "qlyx,qlix->qlyi", c, ax,
+        "qlyx,qlix->qliy", c, ax,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [N, L, H0, n]
+    )  # [N, L, n, H0]
     win = jnp.einsum(
-        "qlyi,qljy->qlij", tmp, ay,
+        "qliy,qljy->qlij", tmp, ay,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [N, L, n(x-major), n(y)]
@@ -215,6 +223,17 @@ def lookup_corr_pyramid(
     cx = coords[..., 0].reshape(N).astype(jnp.float32)
     cy = coords[..., 1].reshape(N).astype(jnp.float32)
 
+    # Lane-fill pad (docs/PERF.md round 4): sub-128 x extents (levels ≥1:
+    # 60/30/15 at the 512×960 point) push XLA's batched-contraction
+    # emitters into a fixed-overhead regime costing MORE than level 0's
+    # full volume (profiled 0.43 vs 0.26 ms/iter).  Zero x-columns meet
+    # zero tap weights, so padding to the 128-lane tile is exact; the
+    # tap matrices for padded levels are built AT the padded width —
+    # weights landing in the pad multiply zero volume columns, which is
+    # precisely the reference's zero-padding semantics.
+    shapes = [c.shape[1:3] for c in pyramid]
+    pad_lvls = [l for l, (h, w) in enumerate(shapes) if h > 1 and 1 < w < 128]
+
     out_levels = []
     for lvl, corr in enumerate(pyramid):
         Hl, Wl = corr.shape[1:3]
@@ -222,7 +241,15 @@ def lookup_corr_pyramid(
         # degenerate-axis quirk of the reference's grid_sample roundtrip:
         # a size-1 level axis maps EVERY window position (center + offsets)
         # to pixel 0 (see ops.warp.bilinear_sampler docstring)
-        if Wl == 1:
+        if lvl in pad_lvls:
+            # built at the TRUE width then zero-padded: the explicit pad
+            # is what XLA exploits (building directly at width 128
+            # measured 28.2 vs 31.9 fps — docs/PERF.md round 4)
+            ax = jnp.pad(
+                _tap_matrix(cx * inv_scale, offs, Wl),
+                ((0, 0), (0, 0), (0, 128 - Wl)),
+            )
+        elif Wl == 1:
             ax = _tap_matrix(jnp.zeros_like(cx), jnp.zeros_like(offs), Wl)
         else:
             ax = _tap_matrix(cx * inv_scale, offs, Wl)  # [N, n, Wl]
@@ -233,14 +260,23 @@ def lookup_corr_pyramid(
         c = corr[..., 0]  # [N, Hl, Wl] (bf16 stays bf16 in fast mode)
         if not fast:
             c = c.astype(jnp.float32)
-        # contract x taps then y taps; fp32 accumulation either way
+        if lvl in pad_lvls:
+            # loop-invariant pad of the volume (XLA hoists it out of the
+            # refinement scan)
+            c = jnp.pad(c, ((0, 0), (0, 0), (0, 128 - Wl)))
+        # contract x taps then y taps; fp32 accumulation either way.
+        # Intermediate emitted [N, n, Hl] (NOT [N, Hl, n]): a 9-wide minor
+        # dim makes XLA lower the batched contraction through conv-window
+        # emitters at ~60-100× the FLOP floor — the qiy form measured
+        # 1.6× faster at identical math (docs/PERF.md round 4, the
+        # profiled RAFT-loop hot spot).
         tmp = jnp.einsum(
-            "qyx,qix->qyi", c, ax.astype(tap_dtype),
+            "qyx,qix->qiy", c, ax.astype(tap_dtype),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )  # [N, Hl, n]
+        )  # [N, n, Hl]
         win = jnp.einsum(
-            "qyi,qjy->qij", tmp.astype(tap_dtype) if fast else tmp,
+            "qiy,qjy->qij", tmp.astype(tap_dtype) if fast else tmp,
             ay.astype(tap_dtype),
             preferred_element_type=jnp.float32,
             precision=prec,
