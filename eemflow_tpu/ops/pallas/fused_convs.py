@@ -337,6 +337,12 @@ def fused_convs_pool(
         # CPU backend has no Mosaic path — interpret keeps the fast modes
         # functional (slow) there, so --fast CLIs work off-TPU
         interpret=interpret or jax.default_backend() == "cpu",
+        # Mosaic's 16 MB scoped-VMEM default is marginally exceeded at the
+        # EEMFlow+ 720p decoder shapes (16.87 MB — round-4 diagnosis); the
+        # v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
     )(x, x, x, *ws, *bs)
     full = res[0] if emit_full else None
     pooled = res[-1] if pool is not None else None

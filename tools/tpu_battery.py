@@ -84,12 +84,11 @@ def main() -> None:
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
 
     fwd_point("eemflow_plus_std", EEMFlowPlus(), 720, 1280, 2)
-    fwd_point("eemflow_plus_fast",
-              EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
-                          fast_sgu=True), 720, 1280, 2)
-    fwd_point("eemflow_plus_fast_bf16",
-              EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
-                          fast_sgu=True, fast_dtype="bf16"), 720, 1280, 2)
+    # (eemflow_plus_fast retired round 4: its scoped-VMEM failure was
+    # fixed, exposing a Mosaic "tpu.concatenate offset mismatch" in the
+    # dense-concat decoder chains; not rewritten because all three
+    # measured kernels of this banded family LOSE 1.4-1.8x on hardware —
+    # docs/PERF.md negative-results ledger)
 
     # ---- ERAFT @512x960 b=1 (k smaller: heavy model) ----
     from eemflow_tpu.models.eraft import ERAFT
