@@ -91,7 +91,23 @@ class ArenaCollate:
     def __call__(self, samples) -> Dict[str, np.ndarray]:
         arena = self._arenas[self._i]
         self._i = (self._i + 1) % len(self._arenas)
-        return collate(samples, round_up=self.round_up, _arena=arena)
+        before = len(arena)
+        out = collate(samples, round_up=self.round_up, _arena=arena)
+        if len(arena) != before:
+            # A new batch shape appeared: allocate AND PRE-FAULT its
+            # buffers in every other slot now, not when rotation reaches
+            # them.  A large fresh numpy mmap faulting inside the steady
+            # loop can stall 100s of ms on this kernel (synchronous
+            # compaction in a fragmented process — measured 0.4-5 s per
+            # cold 25 MB slot, docs/PERF.md round 4); paying all slots'
+            # faults at first sighting keeps the per-batch path warm.
+            for key, buf in list(arena.items()):
+                for other in self._arenas:
+                    if key not in other:
+                        fresh = np.empty(key[1], key[2])
+                        fresh.fill(0)
+                        other[key] = fresh
+        return out
 
 
 def batch_iterator(

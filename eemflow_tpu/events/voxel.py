@@ -67,12 +67,17 @@ class BufferPool:
     def get(self, bucket: int) -> np.ndarray:
         ring = self._pool.get(bucket)
         if ring is None:
+            # allocate AND pre-fault the whole ring at first sighting of a
+            # bucket: a large fresh numpy mmap faulting mid-loop can stall
+            # 100s of ms on this kernel (synchronous compaction in a
+            # fragmented process — docs/PERF.md round 4); one warmup-time
+            # cost beats `ring` scattered steady-state stalls
             ring = self._pool[bucket] = []
             self._next[bucket] = 0
-        if len(ring) < self.ring:
-            buf = np.empty((bucket, 4), np.float32)
-            ring.append(buf)
-            return buf
+            for _ in range(self.ring):
+                buf = np.empty((bucket, 4), np.float32)
+                buf.fill(0.0)
+                ring.append(buf)
         i = self._next[bucket]
         self._next[bucket] = (i + 1) % self.ring
         return ring[i]
