@@ -311,6 +311,47 @@ def _serving_sustained(extra, rng):
     )
     extra["serving_stream_reuse_device_fps"] = round(1.0 / t_reuse_frame, 2)
 
+    # bf16 variant of the reuse leg (serve.py --stream --bf16; volumes +
+    # params bf16 — NOT checkpoint-parity, reported but never headlined)
+    try:
+        from eemflow_tpu.train.trainer import cast_floating
+
+        var16 = cast_floating(var_init, jnp.bfloat16)
+
+        def make_reuse16(k):
+            def f(v, estack, nstack):
+                vol0 = voxelize_batch_nhwc(estack[0], nstack[0], bins, H, W)
+
+                def body(carry, i):
+                    acc, vol_prev = carry
+                    vol_new = voxelize_batch_nhwc(
+                        jax.lax.dynamic_index_in_dim(
+                            estack, (i + 1) % KB, keepdims=False),
+                        jax.lax.dynamic_index_in_dim(
+                            nstack, (i + 1) % KB, keepdims=False),
+                        bins, H, W,
+                    )
+                    _, flows = model.apply(
+                        v, vol_prev.astype(jnp.bfloat16),
+                        vol_new.astype(jnp.bfloat16),
+                    )
+                    return (acc + flows[-1].mean().astype(jnp.float32),
+                            vol_new), None
+
+                (acc, _), _ = jax.lax.scan(
+                    body, (jnp.zeros((), jnp.float32), vol0), jnp.arange(k)
+                )
+                return acc
+
+            return jax.jit(f)
+
+        t1 = _fetch_time(make_reuse16(3), (var16, evs, nss), reps=5)
+        t2 = _fetch_time(make_reuse16(15), (var16, evs, nss), reps=5)
+        t_r16 = (t2 - t1) / 12 / B
+        extra["serving_stream_reuse_bf16_device_fps"] = round(1.0 / t_r16, 2)
+    except Exception as e:
+        extra["serving_stream_reuse_bf16_error"] = repr(e)[:120]
+
     # ---- aggregated serving (THE throughput deployment shape): a backlog
     # chunk of independent frames UNROLLED into one program.  A scan would
     # serialize the per-chain scatter+copies; unrolled, XLA overlaps one
@@ -605,16 +646,10 @@ def main() -> None:
         dtp = _fwd_throughput(papply, p_var, bufs, 2, 10)
         extra["eemflow_plus_fwd_fps"] = round(batch / dtp, 2)
 
-        # serving mode: fused Pallas pyramid + banded decoder chains +
-        # SGU concat chain (same params, f32 math, parity to fp noise)
-        try:
-            pmf = EEMFlowPlus(fast_pyramid=True, fast_decoders=True,
-                              fast_sgu=True)
-            pfapply = lambda v, a, b: pmf.apply(v, a, b)[1][-1]
-            dtpf = _fwd_throughput(pfapply, p_var, bufs, 2, 10)
-            extra["eemflow_plus_fwd_fast_fps"] = round(batch / dtpf, 2)
-        except Exception as e:
-            extra["eemflow_plus_fast_error"] = repr(e)[:120]
+        # (eemflow_plus_fast retired round 4: scoped-VMEM fixed, then a
+        # Mosaic concatenate limitation surfaced in the dense-concat
+        # chains; not rewritten — the banded family loses 1.4-1.8× on
+        # hardware.  docs/PERF.md negative-results ledger.)
     except Exception as e:
         extra["eemflow_plus_error"] = repr(e)[:120]
 

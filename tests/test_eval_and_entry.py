@@ -136,6 +136,8 @@ def test_batched_eval_matches_per_sample():
     assert got["n_samples"] == ref["n_samples"] == 5
 
 
+@pytest.mark.zoo  # ~15 min on the 1-core VM — the multi-minute tier; the
+# driver also runs dryrun_multichip directly every round (MULTICHIP_rNN)
 def test_dryrun_multichip_8():
     import sys
 
