@@ -199,6 +199,20 @@ class EEMFlow(nn.Module):
     # the conv matmul operands (fp32 accumulation) — tolerance-tested.
     fast_pyramid: bool = False
     fast_pyramid_dtype: str = "float32"
+    # Round-4 graph-restructure levers (exact math, op-level — NOT Pallas
+    # hand-fusion, which lost on hardware; docs/PERF.md ledger):
+    #   siamese_stack — run BOTH event frames through the pyramid+pools as
+    #     one 2B-batch call (convs/pools are batch-parallel → per-frame
+    #     results identical); halves the full-resolution op count and the
+    #     layout transitions between conv fusions.
+    #   stacked_coarse — the 3 rconvs and the 3 seven-conv decoders all see
+    #     same-spatial [B, H/32, W/32, ·] grids; express each conv triple as
+    #     ONE grouped conv (groups 3 / 3·groups) over channel-stacked
+    #     inputs, reading the SAME per-decoder params (weights concatenated
+    #     in-call along the output-channel axis — checkpoints unchanged).
+    #     Eval-only, like fast_head.
+    siamese_stack: bool = False
+    stacked_coarse: bool = False
 
     def setup(self):
         self.pyramid = Pyramid(s2d_stem=self.s2d_stem)
@@ -262,6 +276,99 @@ class EEMFlow(nn.Module):
         )
         return p1, p2, p3
 
+    def _stacked_coarse(self, f1s, f2s, idx, md):
+        """Coarse stage with the 3 per-level conv stacks expressed as single
+        grouped convs over channel-concatenated inputs (all three pooled
+        grids share the same H/32×W/32 spatial shape).  Reads the standard
+        per-decoder params and concatenates weights along the output-channel
+        axis in-call, so checkpoints load unchanged.  Math is exact up to
+        fp reassociation (tolerance-tested)."""
+        from eemflow_tpu.models.layers import leaky_relu01
+
+        p = self.variables["params"]
+        g = self.groups
+        Cs = [f.shape[-1] for f in f1s]
+        Cmax = max(Cs)
+
+        def gconv(x, w, b, groups):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + b
+
+        # --- the 3 rconvs as one groups=3 conv (inputs zero-padded to a
+        # common 64-ch group width; pad rows of the kernels are zero) ---
+        xr = jnp.concatenate(
+            [
+                jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, Cmax - f.shape[-1])))
+                for f in f1s
+            ],
+            axis=-1,
+        )
+        wr = jnp.concatenate(
+            [
+                jnp.pad(
+                    p[f"rconv_{i + 1}"]["0"]["kernel"],
+                    ((0, 0), (0, 0), (0, Cmax - Cs[i]), (0, 0)),
+                )
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+        br = jnp.concatenate(
+            [p[f"rconv_{i + 1}"]["0"]["bias"] for i in range(3)]
+        )
+        r = leaky_relu01(gconv(xr, wr, br, 3))  # [B, Hc, Wc, 48]
+
+        # --- correlation per level (24×40-scale, cheap), then one stacked
+        # decoder input [cv_1 | r_1 | cv_2 | r_2 | cv_3 | r_3] ---
+        cvs = [
+            local_correlation(f1s[i], f2s[i], md, indices=idx)
+            for i in range(3)
+        ]
+        x = jnp.concatenate(
+            [cvs[0], r[..., 0:16], cvs[1], r[..., 16:32], cvs[2], r[..., 32:48]],
+            axis=-1,
+        )
+
+        def dk(name):
+            w = jnp.concatenate(
+                [p[f"decoder_{i + 1}"][name]["0"]["kernel"] for i in range(3)],
+                axis=-1,
+            )
+            b = jnp.concatenate(
+                [p[f"decoder_{i + 1}"][name]["0"]["bias"] for i in range(3)]
+            )
+            return w, b
+
+        def shuffle3(x):
+            # per-decoder channel_shuffle(·, g) on the 3×100 stacked channels
+            B_, H_, W_, C_ = x.shape
+            cpd = C_ // 3
+            xs = x.reshape(B_, H_, W_, 3, g, cpd // g)
+            xs = jnp.swapaxes(xs, -1, -2)
+            return xs.reshape(B_, H_, W_, C_)
+
+        x = leaky_relu01(gconv(x, *dk("conv1"), 3))
+        inner_g = 3 * g if g > 1 else 3
+        for name in ("conv2", "conv3", "conv4"):
+            x = leaky_relu01(gconv(x, *dk(name), inner_g))
+            if g > 1:
+                x = shuffle3(x)
+        x = leaky_relu01(gconv(x, *dk("conv5"), 3))
+        x = leaky_relu01(gconv(x, *dk("conv6"), 3))
+        w7 = jnp.concatenate(
+            [p[f"decoder_{i + 1}"]["conv7"]["kernel"] for i in range(3)],
+            axis=-1,
+        )
+        b7 = jnp.concatenate(
+            [p[f"decoder_{i + 1}"]["conv7"]["bias"] for i in range(3)]
+        )
+        flow_concat = gconv(x, w7, b7, 3)  # [B, Hc, Wc, 6] = flow_1|2|3
+        return self.out_conv(flow_concat)
+
     def __call__(self, events1, events2, train: bool = False):
         B, H, W, _ = events1.shape
         out_size = (16, 16) if (train and self.out_mesh_size) else (H, W)
@@ -272,6 +379,13 @@ class EEMFlow(nn.Module):
         if self.fast_pyramid and not train and not self.is_initializing():
             f14_1, f14_2, f14_3 = self._fast_pyramid(ev1)
             f24_1, f24_2, f24_3 = self._fast_pyramid(ev2)
+        elif self.siamese_stack and not self.is_initializing():
+            ev = jnp.concatenate([ev1, ev2], axis=0)
+            f1, f2, f3 = self.pyramid(ev)
+            p1, p2, p3 = avg_pool2d(f1, 32), avg_pool2d(f2, 16), avg_pool2d(f3, 8)
+            f14_1, f24_1 = p1[:B], p1[B:]
+            f14_2, f24_2 = p2[:B], p2[B:]
+            f14_3, f24_3 = p3[:B], p3[B:]
         else:
             f11, f12, f13 = self.pyramid(ev1)
             f21, f22, f23 = self.pyramid(ev2)
@@ -295,6 +409,12 @@ class EEMFlow(nn.Module):
                 indices=idx,
                 max_displacement=md,
                 impl=self.fast_head_impl,
+            )
+            return (events1, events2), [upsample_flow_to(out, out_size)]
+
+        if self.stacked_coarse and not train and not self.is_initializing():
+            out = self._stacked_coarse(
+                (f14_1, f14_2, f14_3), (f24_1, f24_2, f24_3), idx, md
             )
             return (events1, events2), [upsample_flow_to(out, out_size)]
 

@@ -100,3 +100,29 @@ def test_s2d_stem_exact_reparam():
     out_ref = np.asarray(m_ref.apply(v, x1, x2)[1][-1])
     out_s2d = np.asarray(m_s2d.apply(v, x1, x2)[1][-1])
     np.testing.assert_allclose(out_s2d, out_ref, atol=1e-4)
+
+
+def test_restructure_modes_exact_reparam():
+    """siamese_stack / stacked_coarse are exact graph restructures:
+    identical params -> identical outputs (fp noise) vs the standard path,
+    for both the grouped (groups=5) and ungrouped decoder variants."""
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.models.eemflow import EEMFlow
+
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.standard_normal((2, 96, 128, 5)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, 96, 128, 5)), jnp.float32)
+    for groups in (5, 1):
+        m_ref = EEMFlow(groups=groups)
+        v = m_ref.init(jax.random.PRNGKey(0), x1, x2)
+        out_ref = np.asarray(m_ref.apply(v, x1, x2)[1][-1])
+        for kw in (
+            {"siamese_stack": True},
+            {"stacked_coarse": True},
+            {"siamese_stack": True, "stacked_coarse": True},
+        ):
+            m = EEMFlow(groups=groups, **kw)
+            out = np.asarray(m.apply(v, x1, x2)[1][-1])
+            np.testing.assert_allclose(out, out_ref, atol=1e-4, err_msg=str(kw))

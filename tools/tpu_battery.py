@@ -79,6 +79,13 @@ def main() -> None:
     fwd_point("eemflow_fast_bf16",
               EEMFlow(fast_head=True, fast_pyramid=True,
                       fast_pyramid_dtype="bf16"), 720, 1280, 2)
+    # round-4 graph-restructure levers (exact math; docs/PERF.md)
+    fwd_point("eemflow_siamese", EEMFlow(siamese_stack=True), 720, 1280, 2)
+    fwd_point("eemflow_stackcoarse",
+              EEMFlow(stacked_coarse=True), 720, 1280, 2)
+    fwd_point("eemflow_restruct",
+              EEMFlow(siamese_stack=True, stacked_coarse=True),
+              720, 1280, 2)
 
     # ---- EEMFlow+ @720x1280 b=2 ----
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
