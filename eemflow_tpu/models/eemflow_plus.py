@@ -178,6 +178,10 @@ class EEMFlowPlus(nn.Module):
     fast_decoders: bool = False
     fast_sgu: bool = False
     fast_dtype: str = "float32"
+    # Round-4 graph restructure (exact math — see models/eemflow.py):
+    # run the siamese pyramid+pools and each level's conv1x1 pair as one
+    # 2B-batch call.  Batch-parallel ops → per-frame results identical.
+    siamese_stack: bool = False
 
     def _fast_on(self, train):
         return not train and not self.is_initializing()
@@ -266,6 +270,14 @@ class EEMFlowPlus(nn.Module):
         if self.fast_pyramid and self._fast_on(train):
             f11, f12, f13, f14 = self._fast_pyr(im1)
             f21, f22, f23, f24 = self._fast_pyr(im2)
+        elif self.siamese_stack and not self.is_initializing():
+            pyramid = Pyramid(name="pyramid")
+            f1s, f2s, f3s = pyramid(jnp.concatenate([im1, im2], axis=0))
+            f11, f21 = f1s[:B], f1s[B:]
+            f12, f22 = f2s[:B], f2s[B:]
+            f4s = avg_pool2d(f3s, 2)
+            f13, f23 = f3s[:B], f3s[B:]
+            f14, f24 = f4s[:B], f4s[B:]
         else:
             pyramid = Pyramid(name="pyramid")
             f11, f12, f13 = pyramid(im1)
@@ -306,8 +318,12 @@ class EEMFlowPlus(nn.Module):
         )
 
         def level(l, f1, f2, flow_coarse, rconv_name, dec_name):
-            f1_1x1 = conv1x1[l](f1)
-            f2_1x1 = conv1x1[l](f2)
+            if self.siamese_stack and not self.is_initializing():
+                f12_1x1 = conv1x1[l](jnp.concatenate([f1, f2], axis=0))
+                f1_1x1, f2_1x1 = f12_1x1[:B], f12_1x1[B:]
+            else:
+                f1_1x1 = conv1x1[l](f1)
+                f2_1x1 = conv1x1[l](f2)
             flow_up = cdc(flow_coarse, f1_1x1, f2_1x1)
             f2_w = warp_align_corners(f2, flow_up)
             cv = local_correlation(f1, f2_w, md, indices=idx)

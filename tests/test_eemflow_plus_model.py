@@ -118,3 +118,27 @@ def test_eemflow_plus_cfp_variant_forward():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_eemflow_plus_siamese_stack_parity():
+    """siamese_stack is an exact graph restructure (batch-stacked pyramid
+    + conv1x1 pairs); outputs match the standard path to fp noise across
+    all 5 predictions (conv fp order may vary with batch size, and the
+    coarse-to-fine cascade amplifies mildly -> tolerance, not bit-exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
+
+    rng = np.random.default_rng(3)
+    ev1 = jnp.asarray(rng.standard_normal((1, 64, 64, 15)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((1, 64, 64, 15)), jnp.float32)
+    m0 = EEMFlowPlus()
+    var = m0.init(jax.random.PRNGKey(0), ev1, ev2)
+    refs = m0.apply(var, ev1, ev2)[1]
+    outs = EEMFlowPlus(siamese_stack=True).apply(var, ev1, ev2)[1]
+    for i, (a, b) in enumerate(zip(refs, outs)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-3, err_msg=f"pred {i}"
+        )

@@ -91,6 +91,8 @@ def main() -> None:
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
 
     fwd_point("eemflow_plus_std", EEMFlowPlus(), 720, 1280, 2)
+    fwd_point("eemflow_plus_siamese",
+              EEMFlowPlus(siamese_stack=True), 720, 1280, 2)
     # (eemflow_plus_fast retired round 4: its scoped-VMEM failure was
     # fixed, exposing a Mosaic "tpu.concatenate offset mismatch" in the
     # dense-concat decoder chains; not rewritten because all three
