@@ -352,6 +352,20 @@ def _serving_sustained(extra, rng):
     except Exception as e:
         extra["serving_stream_reuse_bf16_error"] = repr(e)[:120]
 
+    # single-stream (B=1) reuse point: the LATENCY deployment shape
+    # (`serve.py --stream --batch 1`); the B=2 number above is the
+    # throughput shape (`--stream --batch 2`, two parallel streams) —
+    # both CLI-reproducible since the batched-stream serve path landed
+    try:
+        t1 = _fetch_time(make_reuse(3), (var_init, evs[:, :1], nss[:, :1]),
+                         reps=5)
+        t2 = _fetch_time(make_reuse(15), (var_init, evs[:, :1], nss[:, :1]),
+                         reps=5)
+        t_r1 = (t2 - t1) / 12
+        extra["serving_stream_reuse_b1_device_fps"] = round(1.0 / t_r1, 2)
+    except Exception as e:
+        extra["serving_stream_reuse_b1_error"] = repr(e)[:120]
+
     # ---- aggregated serving (THE throughput deployment shape): a backlog
     # chunk of independent frames UNROLLED into one program.  A scan would
     # serialize the per-chain scatter+copies; unrolled, XLA overlaps one
@@ -497,33 +511,32 @@ def _probe_backend(timeout_s: float = 150.0) -> bool:
 
 
 def _emit_stale_or_zero(reason: str) -> None:
-    """Outage path: emit the committed last-good record flagged ``stale``
-    (VERDICT r3 item 6 — BENCH_r03.json was an informationless 0.0), or the
-    bare-zero line only when no cache has ever been written."""
+    """Outage path: value/vs_baseline are 0.0 (nothing was measured THIS
+    run — a consumer keying on them must not read old numbers as fresh,
+    ADVICE r4), with the committed last-good record carried verbatim under
+    ``last_good`` so the numbers remain available, clearly labeled
+    (VERDICT r3 item 6 — BENCH_r03.json was an informationless bare 0.0)."""
     record = None
     try:
         with open(BENCH_CACHE_PATH) as f:
             record = json.load(f)
     except (OSError, ValueError):
         record = None
+    out = {
+        "metric": "EEMFlow sustained serving frames/sec/chip "
+                  "@720x1280 (raw events in)",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "stale": True,
+        "stale_reason": reason,
+    }
     if record and isinstance(record, dict) and record.get("value"):
-        record["stale"] = True
-        record["stale_reason"] = reason
-        print(json.dumps(record))
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "EEMFlow sustained serving frames/sec/chip "
-                          "@720x1280 (raw events in)",
-                "value": 0.0,
-                "unit": "frames/s",
-                "vs_baseline": 0.0,
-                "error": reason + " — and no committed bench cache exists; "
-                "see docs/PERF.md for the measurement history",
-            }
-        )
-    )
+        out["last_good"] = record
+    else:
+        out["error"] = (reason + " — and no committed bench cache exists; "
+                        "see docs/PERF.md for the measurement history")
+    print(json.dumps(out))
 
 
 def main() -> None:

@@ -81,16 +81,49 @@ class ArenaCollate:
     batches after it was handed out, so ``slots >= d + 2`` leaves one full
     consumed-and-transferred batch of slack.  Buffer shapes come from the
     bucket-ladder rung set, so each arena holds at most a few entries.
+
+    ALIASING CONTRACT (ADVICE r4): returned batches alias the rotating
+    arenas — a consumer must not retain a raw batch beyond ``slots``
+    subsequent calls (accumulating batches for eval/debug sees them
+    silently mutate).  ``device_put``/``jnp.asarray`` to an ACCELERATOR is
+    safe: PJRT keeps the host buffer immutable-until-transfer-completes
+    and the transfer finishes well inside the ``slots`` window.  On the
+    CPU backend JAX may ZERO-COPY alias aligned numpy buffers
+    indefinitely (verified in tests/test_data.py), so the arena is
+    DISABLED there at first call (plain fresh-allocation collate —
+    page-warmth only matters on the TPU-host train path); ``force_arena``
+    overrides for tests.  ``debug_poison=True`` fills a slot's buffers
+    with NaN before reuse so a retained-reference bug surfaces as NaNs
+    instead of silently-wrong data (tests; too slow for production).
     """
 
-    def __init__(self, round_up=None, slots: int = 4):
+    def __init__(self, round_up=None, slots: int = 4,
+                 debug_poison: bool = False, force_arena: bool = False):
         self.round_up = round_up
         self._arenas = [dict() for _ in range(max(1, slots))]
         self._i = 0
+        self.debug_poison = debug_poison
+        self._enabled = True if force_arena else None  # None = probe jax
+
+    def _arena_enabled(self) -> bool:
+        if self._enabled is None:
+            try:
+                import jax
+
+                self._enabled = jax.default_backend() != "cpu"
+            except Exception:
+                self._enabled = True  # no jax → no jax-array aliasing risk
+        return self._enabled
 
     def __call__(self, samples) -> Dict[str, np.ndarray]:
+        if not self._arena_enabled():
+            return collate(samples, round_up=self.round_up)
         arena = self._arenas[self._i]
         self._i = (self._i + 1) % len(self._arenas)
+        if self.debug_poison:
+            for key, buf in arena.items():
+                if np.issubdtype(buf.dtype, np.floating):
+                    buf.fill(np.nan)
         before = len(arena)
         out = collate(samples, round_up=self.round_up, _arena=arena)
         if len(arena) != before:
@@ -125,6 +158,14 @@ def batch_iterator(
     process draws the SAME shuffled order (same seed) and takes its
     interleaved slice, so global batches partition the dataset
     (``parallel.mesh.shard_batch`` assembles the global array)."""
+    # Datasets in raw-events mode hand each sample 2 pooled pack buffers
+    # (events.voxel.BufferPool) that collate copies only after the whole
+    # batch is materialized — size the pool's ring from the batch so a
+    # buffer is never recycled inside one batch window (default ring=16
+    # silently corrupts batches of >8 samples sharing a bucket).
+    pool = getattr(dataset, "_pack_pool", None)
+    if pool is not None and hasattr(pool, "ensure_ring"):
+        pool.ensure_ring(2 * batch_size + 4)
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

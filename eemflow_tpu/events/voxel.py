@@ -64,6 +64,24 @@ class BufferPool:
         self._pool: dict = {}
         self._next: dict = {}
 
+    def ensure_ring(self, ring: int) -> None:
+        """Grow the ring (never shrinks).  A buffer handed out is
+        overwritten after ``ring`` further requests of the same bucket, so
+        any consumer that holds more than ``ring`` live buffers at once
+        reads silently corrupted data — ``batch_iterator`` sizes the ring
+        as ``2*batch_size + 4`` (datasets hand out two pack buffers per
+        sample and collate copies them only once the whole batch is
+        materialized)."""
+        ring = max(self.ring, ring)
+        if ring == self.ring:
+            return
+        self.ring = ring
+        for bucket, lst in self._pool.items():
+            while len(lst) < ring:
+                buf = np.empty((bucket, 4), np.float32)
+                buf.fill(0.0)
+                lst.append(buf)
+
     def get(self, bucket: int) -> np.ndarray:
         ring = self._pool.get(bucket)
         if ring is None:

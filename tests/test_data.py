@@ -145,7 +145,8 @@ def test_arena_collate_matches_collate_and_rotates():
             for i in range(3)
         ]
 
-    ac = ArenaCollate(round_up=lambda n: ((n + 15) // 16) * 16, slots=2)
+    ac = ArenaCollate(round_up=lambda n: ((n + 15) // 16) * 16, slots=2,
+                      force_arena=True)  # CPU backend disables it otherwise
     s1 = mk(20)
     b1 = ac(s1)
     ref = collate(s1, round_up=lambda n: ((n + 15) // 16) * 16)
@@ -172,6 +173,100 @@ def test_buffer_pool_rotation_and_warmth():
     assert c is a
     d = pool.get(128)  # different bucket → its own ring
     assert d.shape == (128, 4) and d is not a
+
+
+def test_arena_collate_cpu_backend_disables_aliasing():
+    """ADVICE r4 follow-through: on the CPU backend jnp.asarray ZERO-COPY
+    aliases aligned numpy buffers (verified below), so ArenaCollate must
+    fall back to fresh allocations there — a reused arena slot would
+    mutate live jax arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from eemflow_tpu.data.loader import ArenaCollate
+
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    mk = lambda v: [{"x": np.full((64, 8), v, np.float32)}
+                    for _ in range(2)]
+
+    # (a) the hazard is real: a forced arena aliases the jax array
+    forced = ArenaCollate(slots=2, force_arena=True)
+    b1 = forced(mk(1.0))
+    dev = jnp.asarray(b1["x"])
+    forced(mk(2.0))
+    forced(mk(3.0))  # slot 0 refilled
+    if float(np.asarray(dev).ravel()[0]) == 3.0:
+        aliased = True  # zero-copy alias — the reason for the fallback
+    else:
+        aliased = False  # this jax version copied; fallback is then benign
+    # (b) the production default is safe either way on CPU
+    ac = ArenaCollate(slots=2)
+    c1 = ac(mk(1.0))
+    dev2 = jnp.asarray(c1["x"])
+    ac(mk(2.0))
+    c3 = ac(mk(3.0))
+    assert c3["x"] is not c1["x"]  # fresh buffers, no rotation aliasing
+    np.testing.assert_array_equal(np.asarray(dev2), 1.0)
+    assert aliased in (True, False)  # documented probe, not a requirement
+
+
+def test_arena_collate_debug_poison():
+    from eemflow_tpu.data.loader import ArenaCollate
+
+    ac = ArenaCollate(slots=2, debug_poison=True, force_arena=True)
+    mk = lambda v: [{"x": np.full((4, 3), v, np.float32)}
+                    for _ in range(2)]
+    b1 = ac(mk(1.0))
+    held = b1["x"]  # buggy consumer retains the raw batch
+    ac(mk(2.0))
+    b3 = ac(mk(3.0))  # slot 0 reused: poison ran before the refill
+    assert held is b3["x"]
+    np.testing.assert_array_equal(held, 3.0)
+    # a buffer retained ACROSS the poison-refill boundary reads NaN while
+    # the slot is being rebuilt — simulate the window
+    b3["x"].fill(np.nan)
+    assert np.isnan(held).all()
+
+
+def test_buffer_pool_ensure_ring_grows_live_window():
+    # Regression (ADVICE r4, medium): with ring=2 a consumer holding >2
+    # live buffers (a whole batch materialized before collate copies) gets
+    # silently recycled memory.  ensure_ring must grow existing AND future
+    # bucket rings so `ring` consecutive gets are all distinct.
+    from eemflow_tpu.events.voxel import BufferPool
+
+    pool = BufferPool(ring=2)
+    pool.get(64)  # materialize the bucket at the small ring
+    pool.ensure_ring(6)
+    assert pool.ring == 6
+    bufs = [pool.get(64) for _ in range(6)]
+    assert len({id(b) for b in bufs}) == 6  # no recycling inside the window
+    assert pool.get(64) is bufs[0]  # 7th wraps
+    pool.ensure_ring(3)  # never shrinks
+    assert pool.ring == 6
+    # a bucket first seen after the grow also gets the larger ring
+    fresh = [pool.get(32) for _ in range(6)]
+    assert len({id(b) for b in fresh}) == 6
+
+
+def test_batch_iterator_sizes_pack_pool_ring():
+    from eemflow_tpu.data.loader import batch_iterator
+    from eemflow_tpu.events.voxel import BufferPool
+
+    class _DS:
+        def __init__(self):
+            self._pack_pool = BufferPool(ring=2)
+
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            return {"x": np.float32(i)}
+
+    ds = _DS()
+    it = batch_iterator(ds, batch_size=16, seed=0, epochs=1)
+    next(it)
+    assert ds._pack_pool.ring >= 2 * 16 + 4
 
 
 def _write_hrem_sample(d, h=64, w=96, n_events=500):

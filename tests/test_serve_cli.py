@@ -181,6 +181,104 @@ def test_serve_cli_stream_mode_matches_pair_forward(tmp_path):
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+def _expected_pair_flows(samples, data_root):
+    import jax.numpy as jnp
+
+    from eemflow_tpu.compat.torch_loader import (
+        convert_for_model,
+        load_torch_checkpoint,
+    )
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.models import get_eval_model
+    from eemflow_tpu.native import decode_pack_npz
+
+    sd = {k: v for k, v in load_torch_checkpoint(CKPT).items()
+          if k != "index"}
+    variables = convert_for_model("eemflow", sd)
+    model = get_eval_model("eemflow")
+    pre = make_device_preprocess(5, H, W)
+    out = {}
+    for d in samples:
+        packed = []
+        for f in ("events1.npz", "events2.npz"):
+            with np.load(os.path.join(d, f)) as npz:
+                packed.append(decode_pack_npz(npz, BUCKET))
+        batch = pre({
+            "events_old": jnp.asarray(packed[0][0])[None],
+            "events_new": jnp.asarray(packed[1][0])[None],
+            "n_old": jnp.asarray([packed[0][1]], jnp.int32),
+            "n_new": jnp.asarray([packed[1][1]], jnp.int32),
+        })
+        _, preds = model.apply(
+            variables, batch["event_volume_old"], batch["event_volume_new"]
+        )
+        name = os.path.relpath(d, data_root).replace(os.sep, "_")
+        out[name] = np.asarray(preds[-1][0])
+    return out
+
+
+@pytest.mark.zoo
+def test_serve_cli_stream_loops_reprimes_at_wrap(tmp_path):
+    """Regression (ADVICE r4): --stream with --loops > 1 must re-prime the
+    carried volume at every wrap of the sample list — before the fix, the
+    first frame of each repeated loop paired against the LAST sample's
+    events2 and overwrote that sample's previously-correct .flo."""
+    samples = _stream_fixture(str(tmp_path / "data"))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "serve.py"),
+        "-model", "eemflow", "--checkpoint", CKPT,
+        "--data_root", str(tmp_path / "data"),
+        "--size", str(H), str(W), "--bucket_size", str(BUCKET),
+        "--stream", "--loops", "2", "--warmup", "0", "--out_dir", out_dir,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
+    )
+    assert proc.returncode == 0, f"serve failed:\n{proc.stdout}\n{proc.stderr}"
+
+    from eemflow_tpu.events.io import read_flo
+
+    expected = _expected_pair_flows(samples, str(tmp_path / "data"))
+    # loop 2 overwrites loop 1's files; they are only correct if the wrap
+    # re-primed (the first sample is the wrap victim)
+    for name, exp in expected.items():
+        got = read_flo(os.path.join(out_dir, name + ".flo"))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+@pytest.mark.zoo
+def test_serve_cli_stream_batched_parallel_streams(tmp_path):
+    """--stream --batch B serves B contiguous chunks as parallel streams;
+    every chunk's flows must match the pair forward (each row primes from
+    its own chunk-start events1)."""
+    samples = _stream_fixture(str(tmp_path / "data"), n_windows=5)
+    assert len(samples) == 4
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "serve.py"),
+        "-model", "eemflow", "--checkpoint", CKPT,
+        "--data_root", str(tmp_path / "data"),
+        "--size", str(H), str(W), "--bucket_size", str(BUCKET),
+        "--stream", "--batch", "2", "--warmup", "0", "--out_dir", out_dir,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
+    )
+    assert proc.returncode == 0, f"serve failed:\n{proc.stdout}\n{proc.stderr}"
+
+    from eemflow_tpu.events.io import read_flo
+
+    expected = _expected_pair_flows(samples, str(tmp_path / "data"))
+    for name, exp in expected.items():
+        got = read_flo(os.path.join(out_dir, name + ".flo"))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
 @pytest.mark.zoo
 def test_serve_cli_host_voxelize_matches_inprocess(tmp_path):
     """--host_voxelize (native C++ sparse voxelizer on the prefetch

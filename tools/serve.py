@@ -69,12 +69,15 @@ def main() -> None:
     p.add_argument("--viz", action="store_true",
                    help="also write flow-colorwheel PNGs (needs --out_dir)")
     p.add_argument("--stream", action="store_true",
-                   help="treat the sample list as ONE consecutive dt1 "
-                   "stream: voxelize only each sample's events2 and reuse "
-                   "the previous voxel grid as the old volume (sample i's "
-                   "events2 must equal sample i+1's events1 — the HREM/"
-                   "MVSEC dt1 layout). Steady state runs one scatter per "
-                   "frame instead of two; requires --batch 1")
+                   help="treat the sample list as consecutive dt1 "
+                   "stream(s): voxelize only each sample's events2 and "
+                   "reuse the previous voxel grid as the old volume "
+                   "(sample i's events2 must equal sample i+1's events1 — "
+                   "the HREM/MVSEC dt1 layout). Steady state runs one "
+                   "scatter per frame instead of two. With --batch B > 1 "
+                   "the sample list is split into B contiguous chunks "
+                   "served as B parallel streams (throughput mode; adds "
+                   "one batch of latency per frame)")
     p.add_argument("--host_voxelize", action="store_true",
                    help="voxelize on host prefetch cores (native C++ "
                    "sparse voxelizer) instead of on device — the "
@@ -106,9 +109,6 @@ def main() -> None:
         raise SystemExit(f"no events1.npz/events2.npz pairs under "
                          f"{args.data_root}")
 
-    if args.stream and B != 1:
-        raise SystemExit("--stream serves one consecutive stream; use "
-                         "--batch 1")
     if args.stream and args.shard:
         raise SystemExit("--stream carries device state between frames and "
                          "cannot be combined with --shard")
@@ -270,25 +270,51 @@ def main() -> None:
             yield group, ev1, ev2, n1, n2, t_host
 
     def decode_iter_stream():
-        # one stream: each sample contributes only its NEW window; the
-        # previous voxel grid stays resident on device (steady state =
-        # one scatter + one forward per frame)
+        # B parallel consecutive streams: the order list is split into B
+        # contiguous chunks, row b of the batch serving chunk b (B=1 is
+        # the single-stream case).  Each sample contributes only its NEW
+        # window; the previous grids stay resident on device (steady
+        # state = one scatter + one forward per frame per stream).  A row
+        # (re-)primes from its sample's events1 at its chunk start and
+        # whenever its global index wraps the sample list — a --loops
+        # boundary, where the carried grid would otherwise be the LAST
+        # sample's events2 (wrong old volume; ADVICE r4).  Primes ride
+        # the ev2/n2 slots, unused in stream mode.
         t_host = 0.0
-        for s in order:
+        n_samp = len(samples)
+        per_stream = len(order) // B
+        for j in range(per_stream):
             t0 = time.perf_counter()
-            with np.load(os.path.join(s, "events2.npz")) as npz:
-                ev, n, drops = decode_pack_npz(npz, args.bucket_size)
-            if drops:
-                dropped_total[0] += drops
-                dropped_total[1] += 1
+            group, evs, ns, primes = [], [], [], []
+            for b in range(B):
+                gidx = b * per_stream + j
+                s = order[gidx]
+                group.append(s)
+                with np.load(os.path.join(s, "events2.npz")) as npz:
+                    ev, n, drops = decode_pack_npz(npz, args.bucket_size)
+                if drops:
+                    dropped_total[0] += drops
+                    dropped_total[1] += 1
+                if j == 0 or gidx % n_samp == 0:
+                    with np.load(os.path.join(s, "events1.npz")) as npz:
+                        pev, pn, _ = decode_pack_npz(npz, args.bucket_size)
+                    primes.append(
+                        (b, hvox(pev, pn)) if hvox is not None
+                        else (b, pev, pn)
+                    )
+                if hvox is not None:
+                    evs.append(hvox(ev, n))
+                else:
+                    evs.append(ev)
+                    ns.append(n)
             if hvox is not None:
-                vol = hvox(ev, n)[None]
                 t_host += time.perf_counter() - t0
-                yield [s], vol, None, None, None, t_host
-                continue
-            t_host += time.perf_counter() - t0
-            yield [s], ev[None], None, np.asarray([n], np.int32), None, \
-                t_host
+                yield group, np.stack(evs), primes or None, None, None, \
+                    t_host
+            else:
+                t_host += time.perf_counter() - t0
+                yield group, np.stack(evs), primes or None, \
+                    np.asarray(ns, np.int32), None, t_host
 
     os.makedirs(args.out_dir, exist_ok=True) if args.out_dir else None
 
@@ -323,21 +349,25 @@ def main() -> None:
                     )
 
     done_warm = 0
-    vol_prev = None
-    if args.stream:
-        # prime the carried grid from the first sample's OLD window
-        with np.load(os.path.join(order[0], "events1.npz")) as npz:
-            ev0, n0, _ = decode_pack_npz(npz, args.bucket_size)
-        if hvox is not None:
-            vol_prev = jnp.asarray(hvox(ev0, n0)[None])
-        else:
-            vol_prev = vox(jnp.asarray(ev0[None]),
-                           jnp.asarray(np.asarray([n0], np.int32)))
+    vol_prev = None  # stream mode: [B, H, W, bins], primed per row below
     batches = decode_iter_stream() if args.stream else decode_iter()
     for group, ev1, ev2, n1, n2, t_host_total in prefetch(batches, depth=2):
         t0 = time.perf_counter()
+        if args.stream and ev2:
+            # (re-)prime carried rows: chunk starts and --loops wraps
+            if vol_prev is None:
+                vol_prev = jnp.zeros((B, H, W, args.bins), jnp.float32)
+            for pr in ev2:
+                if hvox is not None:
+                    b, grid = pr
+                    vol_prev = vol_prev.at[b].set(jnp.asarray(grid))
+                else:
+                    b, pev, pn = pr
+                    grid = vox(jnp.asarray(pev[None]),
+                               jnp.asarray(np.asarray([pn], np.int32)))
+                    vol_prev = vol_prev.at[b].set(grid[0])
         if args.stream and hvox is not None:
-            vol_new = jnp.asarray(ev1)  # [1, H, W, bins] host grid
+            vol_new = jnp.asarray(ev1)  # [B, H, W, bins] host grids
             flow_dev = stream_step_hostvol(variables, vol_prev, vol_new)
             vol_prev = vol_new
         elif args.stream:
