@@ -70,6 +70,10 @@ class MvsecEventFlow:
         with_dense: bool = False,
         time_stack: bool = False,
         bucket_rungs: int = 1,
+        time_stack_channels: int = 0,
+        with_images: bool = False,
+        seg_events: bool = False,
+        seg_bucket: int = 1 << 15,
     ):
         # with_dense: also emit d_event_volume_old/new (the reference MVSEC
         # loader mirrors the volumes, MVSEC.py:129-130; the dense/sparse
@@ -78,8 +82,30 @@ class MvsecEventFlow:
         # per frame interval — the STE/spike single-volume contract
         # (reference TrainSteRaft; its own loader is absent from the
         # reference snapshot, SURVEY §2.12).
+        # time_stack_channels: 0 = num_bins voxel grids per interval;
+        # 2/4 = count-based grids matching the spiking nets' fixed input
+        # widths (STE-FlowNet conv1 reads 2 channels, spiking FlowNetS 4 —
+        # STEmodel/STEFlow.py:73 / spikemodel/FlowNetS_spike.py:36):
+        # C=2 → [on count, off count] per interval; C=4 → on/off × the
+        # former/latter half of the interval (the spike-camera input
+        # convention those encoders were built for).
+        # with_images: emit 'image1' (<seq>/image/{frame+1:06d}.png, float32
+        # 0..255) + 'event_volume' = concat(old, new) [H, W, 2·bins] — the
+        # DCEIFlow event+image contract (reference TestDCEI.run_network,
+        # test_mvsec.py:1908-1916; its loader is absent upstream).
+        # seg_events: emit 'event_raw' [2, seg_bucket, 4] (x, y, ts, p) raw
+        # segments (old window, new window) for the point-transformer
+        # models (reference TrainRaftSegEvents, train_mvsec.py:389-413; its
+        # loader is absent upstream).  Windows with more events are
+        # evenly-strided subsampled to the bucket, fewer are wrap-repeated
+        # — every row stays a REAL event (zero-padding would inject fake
+        # points into the FPS attention).
         self.with_dense = with_dense
         self.time_stack = time_stack
+        self.time_stack_channels = time_stack_channels
+        self.with_images = with_images
+        self.seg_events = seg_events
+        self.seg_bucket = seg_bucket
         self.root = root
         self.type = "train" if train else "val"
         self.num_bins = num_bins
@@ -155,6 +181,66 @@ class MvsecEventFlow:
         )
         return grid.transpose(1, 2, 0)
 
+    def _count_grid(self, seq: EventSequence, channels: int) -> np.ndarray:
+        """[H, W, channels] polarity-count grid for one interval (the
+        spiking nets' fixed-width input; see __init__ notes)."""
+        ev = seq.features  # [N, 4] = [ts, x, y, p]
+        H, W = self.image_height, self.image_width
+        out = np.zeros((H, W, channels), np.float32)
+        if len(ev) == 0:
+            return out
+        xs = np.clip(ev[:, 1].astype(np.int64), 0, W - 1)
+        ys = np.clip(ev[:, 2].astype(np.int64), 0, H - 1)
+        on = ev[:, 3] > 0
+        if channels == 2:
+            groups = [on, ~on]
+        else:  # 4: on/off × former/latter half of the interval
+            t_mid = 0.5 * (ev[0, 0] + ev[-1, 0])
+            former = ev[:, 0] <= t_mid
+            groups = [on & former, (~on) & former,
+                      on & (~former), (~on) & (~former)]
+        for c, g in enumerate(groups):
+            np.add.at(out[:, :, c], (ys[g], xs[g]), 1.0)
+        return out
+
+    def _segment(self, seq: EventSequence) -> np.ndarray:
+        """[seg_bucket, 4] (x, y, ts, p) fixed-size segment of real events
+        (strided subsample / wrap-repeat; see __init__ notes)."""
+        ev = seq.features  # [ts, x, y, p]
+        N = self.seg_bucket
+        n = len(ev)
+        if n == 0:
+            return np.zeros((N, 4), np.float32)
+        if n >= N:
+            idx = np.linspace(0, n - 1, N).astype(np.int64)
+        else:
+            idx = np.arange(N) % n
+        sel = ev[idx]
+        out = np.empty((N, 4), np.float32)
+        out[:, 0] = sel[:, 1]  # x
+        out[:, 1] = sel[:, 2]  # y
+        out[:, 2] = sel[:, 0]  # ts (relative seconds)
+        out[:, 3] = np.where(sel[:, 3] == 0, -1.0, sel[:, 3])  # p ±1
+        return out
+
+    def _read_image(self, idx: int) -> np.ndarray:
+        """image for sample idx: <seq>/image/{frame+1:06d}.png → [H, W, 3]
+        float32 in [0, 255] (file numbering matches the event tables)."""
+        import cv2
+
+        path = os.path.join(
+            os.path.join(self.root, self.sequence), "image",
+            f"{self.names[idx] + 1:06d}.png",
+        )
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        elif img.shape[-1] == 4:
+            img = img[..., :3]
+        return img[..., ::-1].astype(np.float32)  # BGR → RGB
+
     def _event_mask(self, seq: EventSequence) -> np.ndarray:
         ev = seq.features
         hist, _, _ = np.histogram2d(
@@ -206,11 +292,25 @@ class MvsecEventFlow:
                 # one grid per frame interval, trailing time axis — reuse
                 # the arrays already parsed for seq_old (pandas-h5 reads
                 # dominate host cost; no second parse)
+                C = self.time_stack_channels
                 grids = [
-                    self._voxelize(self._sequence_from_arrays([a]))
+                    (self._count_grid(self._sequence_from_arrays([a]), C)
+                     if C in (2, 4)
+                     else self._voxelize(self._sequence_from_arrays([a])))
                     for a in old_arrays
                 ]
                 sample["event_volume"] = np.stack(grids, axis=-1)
+            if self.with_images:
+                # DCEIFlow contract: 2·bins event window + frame image
+                sample["event_volume"] = np.concatenate(
+                    [sample["event_volume_old"],
+                     sample["event_volume_new"]], axis=-1
+                )
+                sample["image1"] = self._read_image(idx)
+            if self.seg_events:
+                sample["event_raw"] = np.stack(
+                    [self._segment(seq_old), self._segment(seq_new)]
+                )
         if self.type == "val":
             sample["event_valid"] = self._event_mask(seq_old)
         return sample
@@ -269,8 +369,25 @@ class MvsecEventFlow:
                         ev1.shape[0], ev1.shape[1], C, T
                     )
                     ev1 = ev1[..., :nb]
+                elif self.with_images:
+                    # fold image1 into ev1's channels (spatial-only
+                    # transforms, values preserved) so event volumes,
+                    # image and flow see identical augmentation draws
+                    ev1 = np.concatenate([ev1, sample["image1"]], axis=-1)
+                    ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
+                    sample["image1"] = ev1[..., -3:]
+                    ev1 = ev1[..., :-3]
                 else:
                     ev1, ev2, flow = self.augmentor(ev1, ev2, flow)
+                # seg_events train mode keeps the raw segments
+                # unaugmented: the reference ships no seg-events loader
+                # (SURVEY §2.12), so there is no augmentation convention
+                # to match; per-event spatial transforms are left to the
+                # caller if ever needed
+            if self.with_images:
+                # rebuild the DCEIFlow window concat from the (possibly
+                # augmented) volumes
+                sample["event_volume"] = np.concatenate([ev1, ev2], axis=-1)
             valid = np.isfinite(flow).all(-1) & (np.linalg.norm(flow, axis=-1) > 0)
             sample["event_volume_old"] = ev1
             sample["event_volume_new"] = ev2
@@ -287,9 +404,22 @@ class MvsecEventFlow:
                 # (make_device_preprocess(crop_size=(256, 256)))
                 for k in ("event_volume_old", "event_volume_new",
                           "d_event_volume_old", "d_event_volume_new",
-                          "event_volume"):
+                          "event_volume", "image1"):
                     if k in sample:
                         sample[k] = center_crop(sample[k])
+            if "event_raw" in sample:
+                # shift raw coords into the center-crop frame; events
+                # outside get coords < 0 so the scatter-back in-bounds
+                # test drops their votes (event_transformer.py)
+                seg = sample["event_raw"]
+                top = (self.image_height - 256) // 2
+                left = (self.image_width - 256) // 2
+                seg[..., 0] -= left
+                seg[..., 1] -= top
+                oob = ((seg[..., 0] < 0) | (seg[..., 0] >= 256)
+                       | (seg[..., 1] < 0) | (seg[..., 1] >= 256))
+                seg[..., 0] = np.where(oob, -1.0, seg[..., 0])
+                seg[..., 1] = np.where(oob, -1.0, seg[..., 1])
             sample["event_valid"] = center_crop(sample["event_valid"])
         return sample
 

@@ -27,7 +27,31 @@ def flow_error(
     """flow_gt/flow_pred: [H, W, 2]; event_img: [H, W] event count/sum map.
 
     Returns (AEE, %<1px, %<3px, n_points, EE_sum, AEE_gt, EE_gt_sum).
+
+    Predictions at a lower resolution than GT (the spiking FlowNetS /
+    STE-FlowNet heads emit sub-resolution flow) are scored against
+    nearest-subsampled GT with UNSCALED values — the reference's
+    ``downsample`` eval branch (``test_mvsec.py:119-128``:
+    ``F.interpolate(flow, scale_factor=0.5)``, default nearest mode, no
+    magnitude rescale), generalized to any integer-or-not ratio.
     """
+    if flow_pred.shape[:2] != flow_gt.shape[:2]:
+        gh, gw = flow_gt.shape[:2]
+        ph, pw = flow_pred.shape[:2]
+        ys = np.minimum((np.arange(ph) * gh / ph).astype(int), gh - 1)
+        xs = np.minimum((np.arange(pw) * gw / pw).astype(int), gw - 1)
+        flow_gt = flow_gt[ys][:, xs]
+        if event_img is not None:
+            ev = np.squeeze(np.asarray(event_img))
+            event_img = ev[ys][:, xs]
+        if is_car:
+            # the 190-row crop is defined at GT resolution; rescale it
+            is_car = False
+            keep = int(np.ceil(190 * ph / gh))
+            flow_gt = flow_gt[:keep]
+            flow_pred = flow_pred[:keep]
+            if event_img is not None:
+                event_img = event_img[:keep]
     max_row = flow_gt.shape[0] if not is_car else 190
     gt = flow_gt[:max_row]
     pred = flow_pred[:max_row]

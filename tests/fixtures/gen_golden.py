@@ -136,6 +136,67 @@ def main_flowformer():
               "flowformer_hrem_golden.pth.tar", "hrem_golden_flowformer.json")
 
 
+def _main_mvsec_zoo(model_name, oracle_ctor, seed, dt="dt1", extra_args=(),
+                    max_samples=1, fixture_seed=55):
+    """Shared generator for the MVSEC-protocol goldens (VERDICT r4 item
+    4): fixed-seed oracle → reference-style .pth.tar → REAL
+    tools/test_mvsec.py CLI (center-crop-256 protocol, per-family input
+    contract) → pinned AEE."""
+    from test_golden_acceptance import make_mvsec_fixture, run_mvsec_cli
+
+    torch.manual_seed(seed)
+    oracle = oracle_ctor().eval()
+    sd = {"module." + k: v for k, v in oracle.state_dict().items()}
+    ckpt = os.path.join(HERE, f"{model_name}_mvsec_golden.pth.tar")
+    torch.save({"state_dict": sd}, ckpt)
+
+    root = make_mvsec_fixture("/tmp/golden_gen_mvsec", seed=fixture_seed)
+    aee = run_mvsec_cli(
+        root, ckpt, f"/tmp/golden_gen_mvsec/out_{model_name}", model_name,
+        dt=dt, extra_args=("--max_samples", str(max_samples), *extra_args),
+    )
+    with open(os.path.join(HERE, f"mvsec_golden_{model_name}.json"),
+              "w") as f:
+        json.dump({"model": model_name, "aee": aee, "torch_seed": seed,
+                   "fixture_seed": fixture_seed, "max_samples": max_samples,
+                   "dt": dt, "extra_args": list(extra_args)}, f, indent=2)
+    print(f"{model_name} mvsec golden AEE = {aee}")
+
+
+MVSEC_ZOO = {
+    # name → (oracle ctor thunk, torch seed, dt, extra CLI args)
+    "kpaflow": (lambda: __import__("torch_oracles").OracleKPAFlow(cin=5),
+                3101, "dt1", ()),
+    "skflow": (lambda: __import__("torch_oracles").OracleSKFlow(cin=5),
+               3102, "dt1", ()),
+    "gmflownet": (lambda: __import__("torch_oracles").OracleGMFlowNet(
+        cin=5, depth=6), 3103, "dt1", ()),
+    "irrpwc": (lambda: __import__("torch_oracles").OracleIRRPWC(cin=5),
+               3104, "dt1", ()),
+    "pwcnet_irr_occ_bi": (lambda: __import__("torch_oracles").OraclePWCFamily(
+        cin=5, irr=True, bi=True, occ=True), 3105, "dt1", ()),
+    # dt4 time stacks at the spiking nets' fixed input widths
+    "steflow": (lambda: __import__("torch_oracles").OracleSTEFlowNet(),
+                3106, "dt4", ()),
+    "spikeflownet": (lambda: __import__("torch_oracles").OracleSpikeFlowNetS(),
+                     3107, "dt4", ()),
+    # event+image fusion (with_images pathway)
+    "dceiflow": (lambda: __import__("torch_oracles").OracleDCEIFlow(
+        event_bins=10), 3108, "dt1", ()),
+    # raw-event point transformer (seg_events pathway); small seg bucket
+    # keeps the CPU forward bounded
+    "gma_rnn": (lambda: __import__("torch_oracles").OracleRAFTGMA_rnn(
+        n_first_channels=5), 3109, "dt1", ("--seg_bucket", "4096")),
+}
+
+
+def main_mvsec(only=None):
+    for name, (ctor, seed, dt, extra) in MVSEC_ZOO.items():
+        if only and only != name:
+            continue
+        _main_mvsec_zoo(name, ctor, seed, dt=dt, extra_args=extra)
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--eraft" in _sys.argv:
@@ -148,5 +209,11 @@ if __name__ == "__main__":
         main_gmflow()
     elif "--flowformer" in _sys.argv:
         main_flowformer()
+    elif "--mvsec" in _sys.argv:
+        i = _sys.argv.index("--mvsec")
+        only = (_sys.argv[i + 1]
+                if len(_sys.argv) > i + 1
+                and not _sys.argv[i + 1].startswith("-") else None)
+        main_mvsec(only)
     else:
         main()

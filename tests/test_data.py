@@ -427,6 +427,69 @@ def test_mvsec_with_dense_and_time_stack(tmp_path, monkeypatch):
     assert s2["event_volume"].shape == (24, 32, 5, 4)
     assert s2["event_volume_old"].shape == (24, 32, 5)
 
+
+def test_mvsec_spike_seg_image_contracts(tmp_path, monkeypatch):
+    """Round-5 family pathways: count-grid time stacks at the spiking
+    nets' fixed widths (STEFlow C=2 / spike FlowNetS C=4), the DCEIFlow
+    event+image contract, and raw seg-events segments (reference
+    TrainRaftSegEvents/TestDCEI consume these keys; their loaders are
+    absent upstream, SURVEY §2.12)."""
+    import cv2
+
+    from eemflow_tpu.data import mvsec as mvsec_mod
+    from eemflow_tpu.data.mvsec import MvsecEventFlow_dt4
+
+    root = str(tmp_path)
+    monkeypatch.setitem(mvsec_mod.VALID_TIME_INDEX, "indoor_flying1", [(3, 8)])
+    _write_mvsec_sequence(root, "indoor_flying1", (2, 14))
+    img_dir = os.path.join(root, "indoor_flying1", "image")
+    os.makedirs(img_dir, exist_ok=True)
+    for i in range(2, 25):
+        cv2.imwrite(os.path.join(img_dir, f"{i + 1:06d}.png"),
+                    np.full((32, 40), i, np.uint8))
+
+    class SmallDt4(MvsecEventFlow_dt4):
+        image_width = 40
+        image_height = 32
+
+    # count-grid stacks: C=2 on/off, C=4 on/off × former/latter; total
+    # counts must equal the window's event count per interval
+    for C in (2, 4):
+        ds = SmallDt4(root, "indoor_flying1", train=False, time_stack=True,
+                      time_stack_channels=C)
+        s = ds.get_sample(0)
+        vol = s["event_volume"]
+        assert vol.shape == (32, 40, C, 4)
+        assert vol.min() >= 0 and vol.sum() > 0
+        if C == 4:
+            # former/latter split partitions each interval's events
+            c2 = SmallDt4(root, "indoor_flying1", train=False,
+                          time_stack=True, time_stack_channels=2
+                          ).get_sample(0)["event_volume"]
+            np.testing.assert_allclose(
+                vol[..., 0, :] + vol[..., 2, :], c2[..., 0, :]
+            )
+
+    # DCEIFlow contract: image1 float [H,W,3] 0..255 + 10-ch window concat
+    ds = SmallDt4(root, "indoor_flying1", train=False, with_images=True)
+    s = ds.get_sample(0)
+    assert s["image1"].shape == (32, 40, 3) and s["image1"].dtype == np.float32
+    assert s["event_volume"].shape[-1] == 10
+    np.testing.assert_array_equal(
+        s["event_volume"],
+        np.concatenate([s["event_volume_old"], s["event_volume_new"]], -1),
+    )
+
+    # seg-events: [2, N, 4] (x, y, ts, p), all rows real events
+    ds = SmallDt4(root, "indoor_flying1", train=False, seg_events=True,
+                  seg_bucket=64)
+    s = ds.get_sample(0)
+    seg = s["event_raw"]
+    assert seg.shape == (2, 64, 4)
+    assert set(np.unique(seg[..., 3])) <= {-1.0, 1.0}  # ±1, no zero pad
+    assert (seg[..., 0] < 40).all() and (seg[..., 1] < 32).all()
+    assert (np.diff(seg[0, :, 2]) >= 0).all()  # ts stays sorted (strided)
+
     # eval mode carries the stack too, un-augmented
     ds3 = SmallDt4(root, "indoor_flying1", train=False, time_stack=True,
                    with_dense=True)

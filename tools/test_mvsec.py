@@ -45,6 +45,14 @@ def main() -> None:
                    "per-sample metrics; >1 = the batched throughput path)")
     p.add_argument("--bucket_rungs", type=int, default=1,
                    help="event bucket ladder rungs (eval default: fixed bucket)")
+    p.add_argument("--frames", type=int, nargs=2, default=None,
+                   metavar=("START", "END"),
+                   help="override the sequence's valid frame range "
+                   "(reference MVSEC.py:24-31 table) — subset evals and "
+                   "synthetic fixtures")
+    p.add_argument("--seg_bucket", type=int, default=1 << 15,
+                   help="events per raw segment for seg-events models "
+                   "(gma_rnn; strided subsample / wrap-repeat)")
     p.add_argument("--config", default=None,
                    help="optional config JSON carrying model hyperparameters")
     p.add_argument("--fast_head", action="store_true",
@@ -122,9 +130,15 @@ def main() -> None:
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
 
+    from eemflow_tpu.models.registry import ALIASES
     from eemflow_tpu.train.adapters import get_family
 
     family = get_family(args.model)
+    reg_name = ALIASES.get(args.model, args.model)
+    if args.frames is not None:
+        from eemflow_tpu.data import mvsec as mvsec_mod
+
+        mvsec_mod.VALID_TIME_INDEX[args.sequence] = [tuple(args.frames)]
     ds_cls = MvsecEventFlow if args.event_interval == "dt1" else MvsecEventFlow_dt4
     dataset = ds_cls(
         args.data_root, sequence=args.sequence, train=False,
@@ -133,7 +147,18 @@ def main() -> None:
         bucket_rungs=args.bucket_rungs,
         with_dense=family.name in ("dense_sparse", "dense_ctx", "mimounet"),
         time_stack=family.name == "single_volume",
+        # the spiking encoders read fixed input widths (STEFlow conv1: 2,
+        # spiking FlowNetS: 4) — checkpoint-shape-matched count grids
+        time_stack_channels={"steflow": 2, "spikeflownet": 4}.get(
+            reg_name, 0),
+        with_images=family.name == "event_image",
+        seg_events=family.name == "seg_events",
+        seg_bucket=args.seg_bucket,
     )
+    if family.name == "seg_events" and "image_size" not in model_kwargs:
+        # point-transformer scatter grid = the val center-crop frame
+        model_kwargs["image_size"] = (256, 256)
+        model = get_eval_model(args.model, **model_kwargs)
     is_car = "outdoor" in args.sequence
 
     preprocess = None
