@@ -212,6 +212,7 @@ class GMFlowNetModel(nn.Module):
     corr_radius: int = 4
     pad_rate: int = 8
     upsample_all: bool = True  # False = final-only convex upsample (eval)
+    corr_fast: bool = False  # bf16 corr matmuls, fp32 accum (serving mode)
     cnet_norm: str = "batch"  # "instance" for the unite RES_IN variants
 
     @nn.compact
@@ -235,9 +236,15 @@ class GMFlowNetModel(nn.Module):
         fmap1 = final_norm(f1)
         fmap2 = final_norm(f2)
 
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     fast=self.corr_fast)
         fh, fw = fmap1.shape[1:3]
-        corr_map = pyramid[0].reshape(B, fh * fw, fh, fw).reshape(B, fh * fw, fh * fw)
+        # match-init softmaxes in fp32 even in corr_fast mode (the mutual
+        # argmax is tie-sensitive; the cast is negligible vs the matmul)
+        corr_map = (
+            pyramid[0].astype(jnp.float32)
+            .reshape(B, fh * fw, fh, fw).reshape(B, fh * fw, fh * fw)
+        )
         soft_corr_map = jax.nn.softmax(corr_map, axis=2) * jax.nn.softmax(
             corr_map, axis=1
         )
