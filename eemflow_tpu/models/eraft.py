@@ -66,6 +66,14 @@ class ERAFT(nn.Module):
     # matmul operands (fp32 accumulation).
     fused_update: bool = False
     fused_dtype: str = "float32"
+    # Round-5 out-of-loop lever (VERDICT r4 item 6): run the siamese fnet
+    # on BOTH padded event volumes as ONE 2B-batch call instead of two
+    # B-batch calls.  Convs are batch-parallel and instance norm is
+    # per-sample, so per-frame results are identical (exact math); the
+    # point is halving the encoder's op-count-bound dispatch tail — the
+    # 9.5 ms/fwd outside the scan is ~705 small ops (docs/PERF.md round-4
+    # floor analysis), and hand-fusing it with Pallas lost 1.4-1.8×.
+    siamese_stack: bool = False
 
     @nn.compact
     def __call__(
@@ -87,8 +95,12 @@ class ERAFT(nn.Module):
             n_first_channels=self.n_first_channels,
             name="fnet",
         )
-        fmap1 = fnet(im1)
-        fmap2 = fnet(im2)
+        if self.siamese_stack and not self.is_initializing():
+            fmaps = fnet(jnp.concatenate([im1, im2], axis=0))
+            fmap1, fmap2 = fmaps[:B], fmaps[B:]
+        else:
+            fmap1 = fnet(im1)
+            fmap2 = fnet(im2)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
                                      fast=self.corr_fast)
 

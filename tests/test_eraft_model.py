@@ -77,5 +77,32 @@ def test_eraft_final_only_upsample_parity():
     )
 
 
+def test_eraft_siamese_stack_parity():
+    """``siamese_stack=True`` (fnet on both volumes as one 2B-batch call —
+    the round-5 out-of-loop serving lever) is an exact graph restructure:
+    convs are batch-parallel and instance norm is per-sample, so the flow
+    must match the default two-call forward bit-for-bit, with an identical
+    param tree so checkpoints load either way."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    ev1 = jnp.asarray(rng.standard_normal((2, 40, 56, 5)), jnp.float32)
+    ev2 = jnp.asarray(rng.standard_normal((2, 40, 56, 5)), jnp.float32)
+
+    base = ERAFT(n_first_channels=5)
+    variables = base.init(jax.random.PRNGKey(0), ev1, ev2, iters=3)
+    stacked = ERAFT(n_first_channels=5, siamese_stack=True)
+    svars = stacked.init(jax.random.PRNGKey(0), ev1, ev2, iters=3)
+    assert jax.tree_util.tree_structure(svars) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    _, flows_base = base.apply(variables, ev1, ev2, iters=3)
+    _, flows_stacked = stacked.apply(variables, ev1, ev2, iters=3)
+    np.testing.assert_array_equal(
+        np.asarray(flows_stacked), np.asarray(flows_base)
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -49,7 +49,7 @@ def main() -> None:
 
     only = args.only.split(",") if args.only else None
 
-    def fwd_point(name, model, H, W, B, k=(2, 10), bins=5):
+    def fwd_point(name, model, H, W, B, k=(2, 10), bins=5, bf16=False):
         if only and not any(s in name for s in only):
             return None
         try:
@@ -59,6 +59,11 @@ def main() -> None:
                 for _ in range(max(4, k[1] // 2 + 2))
             )
             var = model.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
+            if bf16:  # serving mode: bf16 params + volumes (not parity)
+                from eemflow_tpu.train.trainer import cast_floating
+
+                var = cast_floating(var, jnp.bfloat16)
+                bufs = tuple(b.astype(jnp.bfloat16) for b in bufs)
             apply_final = lambda v, a, b: model.apply(v, a, b)[1][-1]
             t0 = time.perf_counter()
             dt = _fwd_throughput(apply_final, var, bufs, *k, reps=reps)
@@ -86,6 +91,18 @@ def main() -> None:
     fwd_point("eemflow_restruct",
               EEMFlow(siamese_stack=True, stacked_coarse=True),
               720, 1280, 2)
+    # round-5 composition legs: bf16 serving mode × the restructures
+    fwd_point("eemflow_bf16", EEMFlow(), 720, 1280, 2, bf16=True)
+    fwd_point("eemflow_restruct_bf16",
+              EEMFlow(siamese_stack=True, stacked_coarse=True),
+              720, 1280, 2, bf16=True)
+    fwd_point("eemflow_siamese_bf16",
+              EEMFlow(siamese_stack=True), 720, 1280, 2, bf16=True)
+    # batched throughput shape (does the restructure help the b=8 point?)
+    fwd_point("eemflow_b8", EEMFlow(), 720, 1280, 8, k=(1, 4))
+    fwd_point("eemflow_restruct_b8",
+              EEMFlow(siamese_stack=True, stacked_coarse=True),
+              720, 1280, 8, k=(1, 4))
 
     # ---- EEMFlow+ @720x1280 b=2 ----
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
@@ -105,12 +122,25 @@ def main() -> None:
     fwd_point("eraft_corr_fast_maskdefer",
               ERAFT(upsample_all=False, corr_fast=True), 512, 960, 1,
               k=(1, 9))
+    # round-5 out-of-loop lever: siamese fnet as one 2B-batch call
+    fwd_point("eraft_siamese",
+              ERAFT(upsample_all=False, corr_fast=True, siamese_stack=True),
+              512, 960, 1, k=(1, 9))
     fwd_point("eraft_fused_update",
               ERAFT(upsample_all=False, corr_fast=True, fused_update=True),
               512, 960, 1, k=(1, 9))
     fwd_point("eraft_fused_update_bf16",
               ERAFT(upsample_all=False, corr_fast=True, fused_update=True,
                     fused_dtype="bf16"), 512, 960, 1, k=(1, 9))
+
+    # ---- GMFlowNet @512x960 b=1 (round-5 corr_fast wiring A/B) ----
+    from eemflow_tpu.models.gmflownet import GMFlowNetModel
+
+    fwd_point("gmflownet_parity",
+              GMFlowNetModel(upsample_all=False), 512, 960, 1, k=(1, 5))
+    fwd_point("gmflownet_corr_fast",
+              GMFlowNetModel(upsample_all=False, corr_fast=True),
+              512, 960, 1, k=(1, 5))
 
     # ---- banked voxel scatter, b=6 @2^16, 8x per fetch ----
     if only and not any(s in "voxelize_banks" for s in only):
