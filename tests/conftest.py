@@ -32,3 +32,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "zoo: slow model-zoo compile / checkpoint-parity tests"
     )
+    # pre-commit gate on this 1-core VM: `pytest -m smoke` (<2 min) —
+    # registry exact-set, adapters family map, config surface, one jitted
+    # EEMFlow forward.  The "fast" lane (-m "not zoo") has grown to ~18 min
+    # here; run it (or the full suite) before milestones, smoke before
+    # every commit.
+    config.addinivalue_line(
+        "markers", "smoke: <2-min pre-commit tier (registry/adapters/configs/one fwd)"
+    )

@@ -214,6 +214,7 @@ def test_tester_families_eval():
     assert flow2.shape == (H, W, 2)
 
 
+@pytest.mark.smoke
 def test_every_registry_flow_model_has_a_family():
     """Every trainable flow model in the registry maps to a family."""
     from eemflow_tpu.models.registry import MODEL_REGISTRY, _populate

@@ -12,6 +12,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*.json")))
 
+# no compiles anywhere in this module — part of the <2-min smoke gate
+pytestmark = pytest.mark.smoke
+
 
 def _load(path):
     with open(path) as f:

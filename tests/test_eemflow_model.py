@@ -65,6 +65,7 @@ def test_eemflow_nonmultiple_size_padding():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_eemflow_init_and_jit():
     """Model initializes from scratch and jits."""
     model = EEMFlow()

@@ -164,6 +164,7 @@ def test_steflow_smoke():
     assert flows[-1].shape == (1, 32, 32, 2)
 
 
+@pytest.mark.smoke
 def test_registry_exact_name_set():
     """The registry must expose exactly the expected zoo — a broken model
     module fails loudly instead of silently vanishing (VERDICT r1 weak #4)."""
