@@ -250,6 +250,38 @@ def test_serve_cli_stream_loops_reprimes_at_wrap(tmp_path):
 
 
 @pytest.mark.zoo
+def test_serve_cli_stream_chunked_matches_pair_forward(tmp_path):
+    """--stream --chunk K (K consecutive frames unrolled per dispatch —
+    the scatter/forward overlap lever) is a scheduling change only: every
+    frame's flow must match the independent pair forward."""
+    samples = _stream_fixture(str(tmp_path / "data"), n_windows=5)
+    assert len(samples) == 4
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "serve.py"),
+        "-model", "eemflow", "--checkpoint", CKPT,
+        "--data_root", str(tmp_path / "data"),
+        "--size", str(H), str(W), "--bucket_size", str(BUCKET),
+        "--stream", "--chunk", "2", "--warmup", "0", "--out_dir", out_dir,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500
+    )
+    assert proc.returncode == 0, f"serve failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "chunk=2" in proc.stdout
+
+    from eemflow_tpu.events.io import read_flo
+
+    expected = _expected_pair_flows(samples, str(tmp_path / "data"))
+    assert len(expected) == 4
+    for name, exp in expected.items():
+        got = read_flo(os.path.join(out_dir, name + ".flo"))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+@pytest.mark.zoo
 def test_serve_cli_stream_batched_parallel_streams(tmp_path):
     """--stream --batch B serves B contiguous chunks as parallel streams;
     every chunk's flows must match the pair forward (each row primes from

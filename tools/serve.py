@@ -78,6 +78,14 @@ def main() -> None:
                    "the sample list is split into B contiguous chunks "
                    "served as B parallel streams (throughput mode; adds "
                    "one batch of latency per frame)")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="stream mode: consecutive frames per stream per "
+                   "dispatch, UNROLLED into one program. A per-frame "
+                   "dispatch serializes scatter->forward; unrolled, XLA "
+                   "overlaps frame j+1's voxelize scatter with frame j's "
+                   "convs (the round-3 aggregation lesson applied to the "
+                   "stream shape). Adds chunk-1 frames of latency; "
+                   "requires --stream")
     p.add_argument("--host_voxelize", action="store_true",
                    help="voxelize on host prefetch cores (native C++ "
                    "sparse voxelizer) instead of on device — the "
@@ -112,6 +120,26 @@ def main() -> None:
     if args.stream and args.shard:
         raise SystemExit("--stream carries device state between frames and "
                          "cannot be combined with --shard")
+    if args.chunk < 1:
+        raise SystemExit("--chunk must be >= 1")
+    if args.chunk > 1 and not args.stream:
+        raise SystemExit("--chunk is a --stream lever (per-frame batching "
+                         "for the non-stream path is --batch)")
+    if args.chunk > 1:
+        # carried grids can only be (re-)primed at chunk starts, so a
+        # --loops wrap landing mid-chunk would silently pair a frame
+        # against the previous loop's last grid — reject up front
+        per_stream = (len(samples) * args.loops) // B
+        for b_ in range(B):
+            for j0 in range(0, per_stream - per_stream % args.chunk,
+                            args.chunk):
+                for jj in range(1, args.chunk):
+                    if (b_ * per_stream + j0 + jj) % len(samples) == 0:
+                        raise SystemExit(
+                            "--chunk: a --loops stream-wrap falls mid-chunk "
+                            "(re-priming is only possible at chunk starts); "
+                            "pick --chunk dividing the per-stream sample "
+                            "count or drop --loops")
     if args.host_voxelize and args.shard:
         raise SystemExit("--host_voxelize feeds dense volumes through the "
                          "single-device path; drop --shard")
@@ -175,6 +203,45 @@ def main() -> None:
             return preds[-1].astype(jnp.float32)
 
         stream_step_hostvol = jax.jit(stream_step_hostvol_fn)
+
+        if args.chunk > 1:
+            K = args.chunk
+
+            def stream_chunk_fn(v, vol_prev, ev_new, n_new):
+                # ev_new [K, B, N, 4]: K consecutive frames per stream,
+                # unrolled — frame j's forward depends on grids j-1/j but
+                # never on forward j-1, so XLA overlaps frame j+1's
+                # scatter with frame j's convs
+                vol = vol_prev
+                outs = []
+                for j in range(K):
+                    vol_new = vox_fn(ev_new[j], n_new[j])
+                    a, b = vol, vol_new
+                    if args.bf16:
+                        a = a.astype(jnp.bfloat16)
+                        b = b.astype(jnp.bfloat16)
+                    _, preds = model.apply(v, a, b)
+                    outs.append(preds[-1].astype(jnp.float32))
+                    vol = vol_new
+                return jnp.stack(outs), vol
+
+            stream_chunk = jax.jit(stream_chunk_fn)
+
+            def stream_chunk_hostvol_fn(v, vol_prev, vols_new):
+                # vols_new [K, B, H, W, bins] host-voxelized grids
+                vol = vol_prev
+                outs = []
+                for j in range(K):
+                    a, b = vol, vols_new[j]
+                    if args.bf16:
+                        a = a.astype(jnp.bfloat16)
+                        b = b.astype(jnp.bfloat16)
+                    _, preds = model.apply(v, a, b)
+                    outs.append(preds[-1].astype(jnp.float32))
+                    vol = vols_new[j]
+                return jnp.stack(outs), vol
+
+            stream_chunk_hostvol = jax.jit(stream_chunk_hostvol_fn)
 
     # ---- params ----
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pth.tar",
@@ -316,6 +383,50 @@ def main() -> None:
                 yield group, np.stack(evs), primes or None, \
                     np.asarray(ns, np.int32), None, t_host
 
+    def decode_iter_stream_chunk(K):
+        # --chunk: K consecutive frames per stream per dispatch (j-major
+        # group order matches the [K, B] output layout).  Primes only at
+        # chunk starts — mid-chunk wraps were rejected in main() above.
+        t_host = 0.0
+        n_samp = len(samples)
+        per_stream = len(order) // B
+        for j0 in range(0, per_stream - per_stream % K, K):
+            t0 = time.perf_counter()
+            group = [None] * (K * B)
+            evs = [[None] * B for _ in range(K)]
+            ns = [[0] * B for _ in range(K)]
+            primes = []
+            for b in range(B):
+                for jj in range(K):
+                    gidx = b * per_stream + j0 + jj
+                    s = order[gidx]
+                    group[jj * B + b] = s
+                    with np.load(os.path.join(s, "events2.npz")) as npz:
+                        ev, n, drops = decode_pack_npz(npz, args.bucket_size)
+                    if drops:
+                        dropped_total[0] += drops
+                        dropped_total[1] += 1
+                    if jj == 0 and (j0 == 0 or gidx % n_samp == 0):
+                        with np.load(os.path.join(s, "events1.npz")) as npz:
+                            pev, pn, _ = decode_pack_npz(
+                                npz, args.bucket_size)
+                        primes.append(
+                            (b, hvox(pev, pn)) if hvox is not None
+                            else (b, pev, pn)
+                        )
+                    if hvox is not None:
+                        evs[jj][b] = hvox(ev, n)
+                    else:
+                        evs[jj][b] = ev
+                        ns[jj][b] = n
+            stacked = np.stack([np.stack(row) for row in evs])
+            t_host += time.perf_counter() - t0
+            if hvox is not None:
+                yield group, stacked, primes or None, None, None, t_host
+            else:
+                yield group, stacked, primes or None, \
+                    np.asarray(ns, np.int32), None, t_host
+
     os.makedirs(args.out_dir, exist_ok=True) if args.out_dir else None
 
     n_frames = 0
@@ -329,6 +440,8 @@ def main() -> None:
         nonlocal n_frames
         group, flow_dev = item
         flow = np.asarray(flow_dev)  # sync point
+        if flow.ndim == 5:  # --chunk: [K, B, H, W, 2], j-major like group
+            flow = flow.reshape(-1, *flow.shape[2:])
         n_frames += len(group)
         if args.out_dir:
             from eemflow_tpu.events.io import write_flo
@@ -350,7 +463,12 @@ def main() -> None:
 
     done_warm = 0
     vol_prev = None  # stream mode: [B, H, W, bins], primed per row below
-    batches = decode_iter_stream() if args.stream else decode_iter()
+    if args.stream and args.chunk > 1:
+        batches = decode_iter_stream_chunk(args.chunk)
+    elif args.stream:
+        batches = decode_iter_stream()
+    else:
+        batches = decode_iter()
     for group, ev1, ev2, n1, n2, t_host_total in prefetch(batches, depth=2):
         t0 = time.perf_counter()
         if args.stream and ev2:
@@ -366,7 +484,16 @@ def main() -> None:
                     grid = vox(jnp.asarray(pev[None]),
                                jnp.asarray(np.asarray([pn], np.int32)))
                     vol_prev = vol_prev.at[b].set(grid[0])
-        if args.stream and hvox is not None:
+        if args.stream and args.chunk > 1 and hvox is not None:
+            vols = jnp.asarray(ev1)  # [K, B, H, W, bins] host grids
+            flow_dev, vol_prev = stream_chunk_hostvol(
+                variables, vol_prev, vols
+            )
+        elif args.stream and args.chunk > 1:
+            flow_dev, vol_prev = stream_chunk(
+                variables, vol_prev, jnp.asarray(ev1), jnp.asarray(n1)
+            )
+        elif args.stream and hvox is not None:
             vol_new = jnp.asarray(ev1)  # [B, H, W, bins] host grids
             flow_dev = stream_step_hostvol(variables, vol_prev, vol_new)
             vol_prev = vol_new
@@ -419,6 +546,7 @@ def main() -> None:
     print(
         f"{args.model} serve @{H}x{W} b={B}"
         f"{' stream' if args.stream else ''}"
+        f"{f' chunk={args.chunk}' if args.chunk > 1 else ''}"
         f"{' hostvox' if args.host_voxelize else ''}"
         f"{' fast' if args.fast else ''}{' bf16' if args.bf16 else ''}: "
         f"{n_frames} frames in {wall:.2f}s = {n_frames / wall:.1f} fps wall "
