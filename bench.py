@@ -352,6 +352,68 @@ def _serving_sustained(extra, rng):
     except Exception as e:
         extra["serving_stream_reuse_bf16_error"] = repr(e)[:120]
 
+    # ---- COMPOSED round-5 headline leg: every hardware-proven serving
+    # lever stacked — dt1 stream reuse (one scatter/frame) × siamese-stack
+    # graph restructure (exact math, +29% serialized, docs/PERF.md r5) ×
+    # chunk-unrolled dispatch (CH frames per program so XLA overlaps frame
+    # i+1's voxelize scatter with frame i's convs) — plus the bf16 variant
+    # (documented accuracy budget: ≤1% of flow magnitude, tolerance-pinned
+    # in tests/test_pallas_kernels.py).  CLI shape:
+    # ``serve.py --stream --batch B --fast [--bf16] --chunk CH``. ----
+    model_s = EEMFlow(siamese_stack=True)
+    CH = 4  # divides KB so the CH unrolled gather indices stay distinct
+
+    def make_reuse_comp(k, dtype):
+        def f(v, estack, nstack):
+            vol0 = voxelize_batch_nhwc(estack[0], nstack[0], bins, H, W)
+
+            def body(carry, i):
+                acc, vol_prev = carry
+                for j in range(CH):
+                    vol_new = voxelize_batch_nhwc(
+                        jax.lax.dynamic_index_in_dim(
+                            estack, (i * CH + j + 1) % KB, keepdims=False),
+                        jax.lax.dynamic_index_in_dim(
+                            nstack, (i * CH + j + 1) % KB, keepdims=False),
+                        bins, H, W,
+                    )
+                    _, flows = model_s.apply(
+                        v, vol_prev.astype(dtype), vol_new.astype(dtype)
+                    )
+                    acc = acc + flows[-1].mean().astype(jnp.float32)
+                    vol_prev = vol_new
+                return (acc, vol_prev), None
+
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), vol0), jnp.arange(k)
+            )
+            return acc
+
+        return jax.jit(f)
+
+    t_comp = t_comp16 = None
+    try:
+        t1 = _fetch_time(make_reuse_comp(1, jnp.float32),
+                         (var_init, evs, nss), reps=5)
+        t2 = _fetch_time(make_reuse_comp(4, jnp.float32),
+                         (var_init, evs, nss), reps=5)
+        t_comp = (t2 - t1) / (3 * CH) / B
+        extra["serving_composed_fp32_device_fps"] = round(1.0 / t_comp, 2)
+    except Exception as e:
+        extra["serving_composed_fp32_error"] = repr(e)[:120]
+    try:
+        from eemflow_tpu.train.trainer import cast_floating as _cf
+
+        v16 = _cf(var_init, jnp.bfloat16)
+        t1 = _fetch_time(make_reuse_comp(1, jnp.bfloat16), (v16, evs, nss),
+                         reps=5)
+        t2 = _fetch_time(make_reuse_comp(4, jnp.bfloat16), (v16, evs, nss),
+                         reps=5)
+        t_comp16 = (t2 - t1) / (3 * CH) / B
+        extra["serving_composed_bf16_device_fps"] = round(1.0 / t_comp16, 2)
+    except Exception as e:
+        extra["serving_composed_bf16_error"] = repr(e)[:120]
+
     # single-stream (B=1) reuse point: the LATENCY deployment shape
     # (`serve.py --stream --batch 1`); the B=2 number above is the
     # throughput shape (`--stream --batch 2`, two parallel streams) —
@@ -446,15 +508,38 @@ def _serving_sustained(extra, rng):
     except Exception as e:
         extra["serving_hostvox_error"] = repr(e)[:160]
 
-    # headline device leg: best honest deployment shape — backlog
-    # aggregation vs dt1 stream with volume reuse
-    t_dev_frame = min(t_dev_frame, t_reuse_frame)
+    # headline device leg: best honest CLI-reproducible deployment shape.
+    # bf16 serving is PROMOTED to headline-eligible as of round 5 under a
+    # documented accuracy budget: worst-case drift ≤1% of flow magnitude
+    # (mean criterion), tolerance-pinned in tests/test_pallas_kernels.py
+    # and surfaced per-run in serving_headline_accuracy_budget.  Parity
+    # evaluation (checkpoint AEE reproduction) must still use fp32 — the
+    # fp32 composed number is always reported alongside.
+    candidates = {
+        "agg_fp32 (serve --agg)": t_dev_frame,
+        "stream_reuse_fp32 (serve --stream)": t_reuse_frame,
+    }
+    if t_comp is not None:
+        candidates["stream_composed_fp32 (serve --stream --fast "
+                   f"--chunk {CH})"] = t_comp
+    if t_comp16 is not None:
+        candidates["stream_composed_bf16 (serve --stream --fast --bf16 "
+                   f"--chunk {CH})"] = t_comp16
+    mode = min(candidates, key=candidates.get)
+    t_dev_frame = candidates[mode]
+    extra["serving_headline_mode"] = mode
+    if "bf16" in mode:
+        extra["serving_headline_accuracy_budget"] = (
+            "bf16 params+volumes: flow drift <=1% of flow magnitude "
+            "(tests/test_pallas_kernels.py pins); fp32 parity number is "
+            "serving_composed_fp32_device_fps"
+        )
     fps = 1.0 / max(t_dev_frame, t_host_frame)
     extra["serving_bottleneck"] = (
         "device" if t_dev_frame >= t_host_frame else
         "host (single-core VM; production TPU hosts parallelize the npz "
         "decode across prefetch workers — device-capable fps is "
-        "serving_agg_device_fps)"
+        "1/serving_headline device leg)"
     )
     return fps
 

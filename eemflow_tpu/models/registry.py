@@ -80,10 +80,17 @@ def get_eval_model(name: str, **kwargs):
 FAST_EVAL_KWARGS = {
     # round-4 hardware A/B (docs/PERF.md): EEMFlow fast_head+fast_pyramid
     # compile post-fix but measure 114 vs 207 fps standard — the XLA conv
-    # fusions beat the hand-fused Pallas chains at these shapes, so the
-    # umbrella flag maps to NO kwargs (the per-mode flags stay as opt-in
-    # documented experiments); EEMFlow+ fast modes still fail Mosaic
-    # compile on hardware and likewise stay out.
+    # fusions beat the hand-fused Pallas chains at these shapes, so those
+    # Pallas modes stay out (opt-in documented experiments); EEMFlow+ fast
+    # modes still fail Mosaic compile on hardware and likewise stay out.
+    #
+    # round-5 hardware A/B (docs/PERF.md): the siamese-stack GRAPH
+    # restructure (both event frames through the pyramid as one 2B-batch
+    # XLA program — exact same math/params, parity-tested) wins big for
+    # EEMFlow: 267.8 vs 206.8 fps @720×1280 b=2 (+29%).  It LOSES for
+    # eemflow_plus (48.4 vs 54.5) and eraft (23.7 vs 31.9), so only
+    # eemflow maps it; stacked_coarse measured a slight loss and is out.
+    "eemflow": {"siamese_stack": True},
 }
 
 
