@@ -79,37 +79,21 @@ def main() -> None:
     from eemflow_tpu.models.eemflow import EEMFlow
 
     fwd_point("eemflow_std", EEMFlow(), 720, 1280, 2)
-    fwd_point("eemflow_fast",
-              EEMFlow(fast_head=True, fast_pyramid=True), 720, 1280, 2)
-    fwd_point("eemflow_fast_bf16",
-              EEMFlow(fast_head=True, fast_pyramid=True,
-                      fast_pyramid_dtype="bf16"), 720, 1280, 2)
-    # round-4 graph-restructure levers (exact math; docs/PERF.md)
+    # round-5 battery verdicts (docs/PERF.md "Round 5"): siamese_stack WON
+    # (+29.5%, promoted into --fast); stacked_coarse, b=8 batching, the
+    # Pallas fast modes, and every ERAFT/EEMFlow+ restructure LOST and are
+    # retired from the battery (the ledger holds their numbers) — re-add a
+    # leg only with new evidence.
     fwd_point("eemflow_siamese", EEMFlow(siamese_stack=True), 720, 1280, 2)
-    fwd_point("eemflow_stackcoarse",
-              EEMFlow(stacked_coarse=True), 720, 1280, 2)
-    fwd_point("eemflow_restruct",
-              EEMFlow(siamese_stack=True, stacked_coarse=True),
-              720, 1280, 2)
-    # round-5 composition legs: bf16 serving mode × the restructures
-    fwd_point("eemflow_bf16", EEMFlow(), 720, 1280, 2, bf16=True)
-    fwd_point("eemflow_restruct_bf16",
-              EEMFlow(siamese_stack=True, stacked_coarse=True),
-              720, 1280, 2, bf16=True)
     fwd_point("eemflow_siamese_bf16",
               EEMFlow(siamese_stack=True), 720, 1280, 2, bf16=True)
-    # batched throughput shape (does the restructure help the b=8 point?)
-    fwd_point("eemflow_b8", EEMFlow(), 720, 1280, 8, k=(1, 4))
-    fwd_point("eemflow_restruct_b8",
-              EEMFlow(siamese_stack=True, stacked_coarse=True),
-              720, 1280, 8, k=(1, 4))
 
     # ---- EEMFlow+ @720x1280 b=2 ----
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
 
     fwd_point("eemflow_plus_std", EEMFlowPlus(), 720, 1280, 2)
-    fwd_point("eemflow_plus_siamese",
-              EEMFlowPlus(siamese_stack=True), 720, 1280, 2)
+    # (eemflow_plus_siamese retired round 5: 48.4 vs 54.5 fps — the per-
+    # level conv1x1 pairs make the 2B-stack relayout net-negative)
     # (eemflow_plus_fast retired round 4: its scoped-VMEM failure was
     # fixed, exposing a Mosaic "tpu.concatenate offset mismatch" in the
     # dense-concat decoder chains; not rewritten because all three
@@ -122,22 +106,14 @@ def main() -> None:
     fwd_point("eraft_corr_fast_maskdefer",
               ERAFT(upsample_all=False, corr_fast=True), 512, 960, 1,
               k=(1, 9))
-    # round-5 out-of-loop lever: siamese fnet as one 2B-batch call
-    fwd_point("eraft_siamese",
-              ERAFT(upsample_all=False, corr_fast=True, siamese_stack=True),
-              512, 960, 1, k=(1, 9))
-    fwd_point("eraft_fused_update",
-              ERAFT(upsample_all=False, corr_fast=True, fused_update=True),
-              512, 960, 1, k=(1, 9))
-    fwd_point("eraft_fused_update_bf16",
-              ERAFT(upsample_all=False, corr_fast=True, fused_update=True,
-                    fused_dtype="bf16"), 512, 960, 1, k=(1, 9))
+    # (eraft_siamese retired round 5: 23.7 vs 31.9 fps — the 2B stack
+    # doubles the instance-norm reduce extents in the op-count-bound tail;
+    # eraft_fused_update/_bf16 retired rounds 4-5: banded-Pallas loss)
 
     # ---- GMFlowNet @512x960 b=1 (round-5 corr_fast wiring A/B) ----
     from eemflow_tpu.models.gmflownet import GMFlowNetModel
 
-    fwd_point("gmflownet_parity",
-              GMFlowNetModel(upsample_all=False), 512, 960, 1, k=(1, 5))
+    # (gmflownet_parity baseline on ledger: 68.2 ms / 14.7 fps)
     fwd_point("gmflownet_corr_fast",
               GMFlowNetModel(upsample_all=False, corr_fast=True),
               512, 960, 1, k=(1, 5))
@@ -182,7 +158,8 @@ def main() -> None:
                 return acc
             return jax.jit(f)
 
-        for banks in (1, 2, 4, 8):
+        # banks>1 retired (measured monotone loss twice: r4 + r5 ledger)
+        for banks in (1,):
             t = _fetch_time(vox_k(banks), (ev6, n6), reps=max(3, reps))
             emit(f"voxelize_banks{banks}",
                  ms_per_frame=round(t * 1e3 / (8 * 6), 3))
