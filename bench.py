@@ -361,7 +361,10 @@ def _serving_sustained(extra, rng):
     # in tests/test_pallas_kernels.py).  CLI shape:
     # ``serve.py --stream --batch B --fast [--bf16] --chunk CH``. ----
     model_s = EEMFlow(siamese_stack=True)
-    CH = 4  # divides KB so the CH unrolled gather indices stay distinct
+    CH = 4  # unrolled frames per scan step; the gather index below must
+    # DEPEND ON i (not reduce to a constant mod KB) or XLA hoists the
+    # loop-invariant voxelize out of the scan and the differential stops
+    # charging the scatter (the round-3 CSE artifact class)
 
     def make_reuse_comp(k, dtype):
         def f(v, estack, nstack):
@@ -372,9 +375,9 @@ def _serving_sustained(extra, rng):
                 for j in range(CH):
                     vol_new = voxelize_batch_nhwc(
                         jax.lax.dynamic_index_in_dim(
-                            estack, (i * CH + j + 1) % KB, keepdims=False),
+                            estack, (i + j + 1) % KB, keepdims=False),
                         jax.lax.dynamic_index_in_dim(
-                            nstack, (i * CH + j + 1) % KB, keepdims=False),
+                            nstack, (i + j + 1) % KB, keepdims=False),
                         bins, H, W,
                     )
                     _, flows = model_s.apply(

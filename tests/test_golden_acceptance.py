@@ -312,7 +312,13 @@ def test_golden_acceptance_dceiflow_cli(tmp_path):
 @pytest.mark.zoo
 def test_golden_acceptance_gma_rnn_cli(tmp_path):
     """RAFTGMA_rnn (raw-event point transformer frontend — exercises the
-    seg_events dataset pathway AND the EventTransformer converter)."""
+    seg_events dataset pathway AND the EventTransformer converter).
+
+    This is also the end-to-end coverage for the ``event_transformer``
+    registry entry: standalone EventTransformer is a non-flow backbone
+    (see tests/test_adapters.py non_flow set) whose only flow-producing
+    consumer is this family, mirroring the reference where
+    ``gma_rnn.py`` embeds the transformer frontend."""
     _mvsec_zoo_golden(tmp_path, "gma_rnn", "mvsec_golden_gma_rnn.json")
 
 

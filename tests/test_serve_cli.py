@@ -251,9 +251,10 @@ def test_serve_cli_stream_loops_reprimes_at_wrap(tmp_path):
 
 @pytest.mark.zoo
 def test_serve_cli_stream_chunked_matches_pair_forward(tmp_path):
-    """--stream --chunk K (K consecutive frames unrolled per dispatch —
-    the scatter/forward overlap lever) is a scheduling change only: every
-    frame's flow must match the independent pair forward."""
+    """--stream --fast --chunk K (the composed round-5 headline CLI
+    shape minus --bf16): chunking is a scheduling change only and --fast
+    maps the exact-math siamese_stack restructure, so every frame's flow
+    must match the independent pair forward to the same tolerance."""
     samples = _stream_fixture(str(tmp_path / "data"), n_windows=5)
     assert len(samples) == 4
     out_dir = str(tmp_path / "out")
@@ -264,7 +265,8 @@ def test_serve_cli_stream_chunked_matches_pair_forward(tmp_path):
         "-model", "eemflow", "--checkpoint", CKPT,
         "--data_root", str(tmp_path / "data"),
         "--size", str(H), str(W), "--bucket_size", str(BUCKET),
-        "--stream", "--chunk", "2", "--warmup", "0", "--out_dir", out_dir,
+        "--stream", "--fast", "--chunk", "2", "--warmup", "0",
+        "--out_dir", out_dir,
     ]
     proc = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1500

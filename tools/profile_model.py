@@ -41,6 +41,16 @@ def main() -> None:
     p.add_argument("--fused_update", action="store_true",
                    help="RAFT-lineage fused update-block serving mode "
                    "(implies --eval)")
+    p.add_argument("--train", action="store_true",
+                   help="profile the full jitted TRAIN step instead of the "
+                   "forward: fwd+bwd+optimizer with device-side voxelize "
+                   "from raw padded events — the bench.py train leg shape "
+                   "(use -bs 6 --size 512 960 for the reference point)")
+    p.add_argument("--events", type=int, default=1 << 18,
+                   help="--train: padded events per sample (bucket size)")
+    p.add_argument("--bf16", action="store_true",
+                   help="--train: mixed_precision step (bf16 fwd/bwd, "
+                   "fp32 params/optimizer)")
     args = p.parse_args()
 
     import jax
@@ -56,6 +66,9 @@ def main() -> None:
     from eemflow_tpu.models.registry import get_eval_model
 
     h, w = args.size
+    if args.train:
+        _profile_train_step(args, jax, jnp, h, w)
+        return
     if (args.eval or args.corr_fast or args.fast_head or args.fast
             or args.fused_update):
         extra = {}
@@ -93,6 +106,68 @@ def main() -> None:
     print(
         f"{args.model} @ {h}x{w} b={args.batch_size}: "
         f"{dt / args.reps * 1e3:.3f} ms/call; trace written to {args.logdir}"
+    )
+
+
+def _profile_train_step(args, jax, jnp, h, w):
+    """Trace the full jitted train step (the bench.py train-leg shape:
+    device voxelize → fwd → bwd → optax update, donated state) so the
+    97 ms @ b=6 512×960 point can be decomposed into fwd/bwd/optimizer/
+    relayout time (reference hot loop: ``train_mvsec.py:229-286``)."""
+    import numpy as np
+
+    from eemflow_tpu.data.device_input import make_device_preprocess
+    from eemflow_tpu.models import get_model
+    from eemflow_tpu.train.optim import make_optimizer
+    from eemflow_tpu.train.trainer import create_train_state, make_train_step
+
+    B, NEV = args.batch_size, args.events
+    rng = np.random.default_rng(0)
+    evs, ns = [], []
+    for _ in range(B):
+        n = NEV - 1000
+        ev = np.zeros((NEV, 4), np.float32)
+        ev[:n, 0] = np.linspace(0.0, 0.04, n)
+        ev[:n, 1] = rng.integers(0, w, n)
+        ev[:n, 2] = rng.integers(0, h, n)
+        ev[:n, 3] = rng.choice([-1.0, 1.0], n)
+        evs.append(ev)
+        ns.append(n)
+    if args.model == "eemflow":  # the HREM meshflow training config
+        model = get_model(args.model, out_mesh_size=True)
+        gt_hw = (16, 16)
+    else:
+        model = get_model(args.model)
+        gt_hw = (h, w)
+    batch = {
+        "events_old": jnp.asarray(np.stack(evs)),
+        "events_new": jnp.asarray(np.stack(evs[::-1])),
+        "n_old": jnp.asarray(np.asarray(ns, np.int32)),
+        "n_new": jnp.asarray(np.asarray(ns[::-1], np.int32)),
+        "flow": jnp.ones((B, *gt_hw, 2), jnp.float32),
+        "valid": jnp.ones((B, *gt_hw), jnp.float32),
+    }
+    pre = make_device_preprocess(args.bins, h, w)
+    tx = make_optimizer(lr=1e-5, num_steps=1000)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx,
+                               preprocess=pre)
+    step = make_train_step(model, tx, preprocess=pre,
+                           mixed_precision=args.bf16)
+    state, m = step(state, batch)  # compile
+    print(f"compiled; first loss={float(m['loss']):.4f}", flush=True)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    with jax.profiler.trace(args.logdir):
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            state, m = step(state, batch)
+        loss = float(m["loss"])  # fetch = the only honored sync here
+        dt = time.perf_counter() - t0
+    print(
+        f"{args.model} TRAIN step @ {h}x{w} b={B}"
+        f"{' bf16' if args.bf16 else ''}: "
+        f"{dt / args.reps * 1e3:.3f} ms/step (loss={loss:.4f}); "
+        f"trace written to {args.logdir}"
     )
 
 
