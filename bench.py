@@ -631,7 +631,12 @@ def main() -> None:
     if os.environ.get("BENCH_FORCE_OUTAGE"):  # test hook: simulate tunnel-down
         _emit_stale_or_zero("simulated outage (BENCH_FORCE_OUTAGE set)")
         return
-    if not _probe_backend():
+    # BENCH_SKIP_PROBE: a wrapping launcher that probed the tunnel itself
+    # seconds ago can skip the serial ~2.5-min internal probe — on a
+    # flapping tunnel the double-probe can eat the whole up-window (the
+    # caller must bound the run with `timeout`, since a mid-run drop
+    # hangs device calls with no client-side timeout).
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _probe_backend():
         _emit_stale_or_zero(
             "device backend unreachable (axon TPU tunnel down: jax device "
             "calls hang with no client-side timeout); no measurement "
