@@ -431,6 +431,22 @@ def _serving_sustained(extra, rng):
     except Exception as e:
         extra["serving_stream_reuse_b1_error"] = repr(e)[:120]
 
+    # composed at B=1 (`serve --stream --batch 1 --fast --chunk 4`): the
+    # round-5 bench found B=1 stream-reuse FASTER per frame than B=2
+    # (188 vs 154 fps — 720p batching anti-scales, same lesson as the
+    # battery's b8 legs), so the composed headline shape is measured at
+    # both batch points and the candidates pick the best
+    t_comp_b1 = None
+    try:
+        t1 = _fetch_time(make_reuse_comp(1, jnp.float32),
+                         (var_init, evs[:, :1], nss[:, :1]), reps=5)
+        t2 = _fetch_time(make_reuse_comp(4, jnp.float32),
+                         (var_init, evs[:, :1], nss[:, :1]), reps=5)
+        t_comp_b1 = (t2 - t1) / (3 * CH)
+        extra["serving_composed_b1_device_fps"] = round(1.0 / t_comp_b1, 2)
+    except Exception as e:
+        extra["serving_composed_b1_error"] = repr(e)[:120]
+
     # ---- aggregated serving (THE throughput deployment shape): a backlog
     # chunk of independent frames UNROLLED into one program.  A scan would
     # serialize the per-chain scatter+copies; unrolled, XLA overlaps one
@@ -508,6 +524,24 @@ def _serving_sustained(extra, rng):
                 extra["serving_hostvox_host_cores_to_saturate"] = round(
                     t_hv * fwd_fps, 2
                 )
+            # composed hostvox: host voxelize × siamese-stack forward
+            # (serve --host_voxelize --fast [--bf16]) — device fwd-only,
+            # so the serialized siamese marginal IS the device rate;
+            # cores_to_saturate scales with it (footnote travels with the
+            # number: this 1-core VM cannot sustain it host-side)
+            for key, src in (
+                ("serving_hostvox_fast_device_fps",
+                 "batched_throughput_fast_fps"),
+                ("serving_hostvox_fast_bf16_device_fps",
+                 "batched_throughput_fast_bf16_fps"),
+            ):
+                fps_f = extra.get(src)
+                if fps_f:
+                    extra[key] = fps_f
+                    extra[key.replace("_device_fps",
+                                      "_host_cores_to_saturate")] = round(
+                        t_hv * fps_f, 2
+                    )
     except Exception as e:
         extra["serving_hostvox_error"] = repr(e)[:160]
 
@@ -528,6 +562,9 @@ def _serving_sustained(extra, rng):
     if t_comp16 is not None:
         candidates["stream_composed_bf16 (serve --stream --fast --bf16 "
                    f"--chunk {CH})"] = t_comp16
+    if t_comp_b1 is not None:
+        candidates["stream_composed_b1_fp32 (serve --stream --batch 1 "
+                   f"--fast --chunk {CH})"] = t_comp_b1
     mode = min(candidates, key=candidates.get)
     t_dev_frame = candidates[mode]
     extra["serving_headline_mode"] = mode
@@ -680,6 +717,32 @@ def main() -> None:
 
     dt_frame = _fwd_throughput_batched(apply_final, variables, make_bufs, 4, 16)
     extra["batched_throughput_fps"] = round(1.0 / dt_frame, 2)
+
+    # siamese-stack restructure (exact math, round-5 battery +29.5%): the
+    # forward-only marginal that feeds the hostvox composition below —
+    # same checkpoint weights, graph-shape change only (docs/PERF.md r5)
+    try:
+        model_siam = EEMFlow(siamese_stack=True)
+        apply_siam = lambda v, a, b: model_siam.apply(v, a, b)[1][-1]
+        dt_frame_fast = _fwd_throughput_batched(
+            apply_siam, variables, make_bufs, 4, 16
+        )
+        extra["batched_throughput_fast_fps"] = round(1.0 / dt_frame_fast, 2)
+        v16s = cast_floating(variables, jnp.bfloat16)
+
+        def make_bufs16(bsz):
+            a, b = make_bufs(bsz)
+            return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+        dt_frame_fast16 = _fwd_throughput_batched(
+            apply_siam, v16s, make_bufs16, 4, 16
+        )
+        extra["batched_throughput_fast_bf16_fps"] = round(
+            1.0 / dt_frame_fast16, 2
+        )
+    except Exception as e:
+        dt_frame_fast = dt_frame_fast16 = None
+        extra["batched_throughput_fast_error"] = repr(e)[:120]
 
     # XLA cost analysis → analytic FLOPs (per single forward)
     try:

@@ -103,6 +103,7 @@ def make_device_preprocess(
     event_mask: bool = False,
     normalize: bool = True,
     banks: int = 0,
+    stack_pair: bool = False,
 ) -> Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]]:
     """Build the in-jit preprocessing fn: raw padded events → model inputs.
 
@@ -119,6 +120,13 @@ def make_device_preprocess(
     outage).  The banked variant stays available for explicit A/Bs
     (``banks>1``); differences vs banks=1 are fp-addition reordering of
     per-cell vote sums only.
+
+    ``stack_pair=True`` voxelizes ``events_old`` and ``events_new`` in ONE
+    2B-row batched scatter instead of two B-row calls — per-batch-element
+    math is independent, so the grids are bit-identical; only the dispatch
+    shape changes (the train-step analog of the serving ``siamese_stack``
+    restructure — fewer, bigger scatters, same lesson as banks=1).
+    Opt-in until the hardware A/B lands (docs/PERF.md round 5).
     """
     if banks == 0:
         banks = 1
@@ -135,14 +143,23 @@ def make_device_preprocess(
                 "flip_h", "flip_v", "crop_y", "crop_x",
             )
         }
-        ev_old = voxelize_batch_nhwc(
-            batch["events_old"], batch["n_old"], num_bins, height, width,
-            normalize, banks=banks,
-        )
-        ev_new = voxelize_batch_nhwc(
-            batch["events_new"], batch["n_new"], num_bins, height, width,
-            normalize, banks=banks,
-        )
+        if stack_pair and batch["events_old"].shape == batch["events_new"].shape:
+            B = batch["events_old"].shape[0]
+            ev_both = voxelize_batch_nhwc(
+                jnp.concatenate([batch["events_old"], batch["events_new"]]),
+                jnp.concatenate([batch["n_old"], batch["n_new"]]),
+                num_bins, height, width, normalize, banks=banks,
+            )
+            ev_old, ev_new = ev_both[:B], ev_both[B:]
+        else:
+            ev_old = voxelize_batch_nhwc(
+                batch["events_old"], batch["n_old"], num_bins, height, width,
+                normalize, banks=banks,
+            )
+            ev_new = voxelize_batch_nhwc(
+                batch["events_new"], batch["n_new"], num_bins, height, width,
+                normalize, banks=banks,
+            )
         if event_mask:
             mask = jax.vmap(
                 lambda e, n: events_to_mask(e, n, height, width)

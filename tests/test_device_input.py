@@ -47,6 +47,36 @@ def test_voxelize_batch_nhwc_matches_host():
     np.testing.assert_allclose(np.asarray(out), np.stack(refs), atol=2e-3)
 
 
+def test_stack_pair_preprocess_bit_identical():
+    """stack_pair=True (one 2B-row scatter) must be bit-identical to the
+    two B-row calls — per-batch-element voxelization is independent."""
+    h, w, bins = 24, 32, 5
+    B, NEV = 3, 512
+    eo, no, en, nn = [], [], [], []
+    for i in range(B):
+        p, n, _ = pad_events(make_events(300 + 40 * i, h, w), NEV)
+        eo.append(p)
+        no.append(n)
+        p, n, _ = pad_events(make_events(260 + 30 * i, h, w), NEV)
+        en.append(p)
+        nn.append(n)
+    batch = {
+        "events_old": jnp.asarray(np.stack(eo)),
+        "n_old": jnp.asarray(np.asarray(no, np.int32)),
+        "events_new": jnp.asarray(np.stack(en)),
+        "n_new": jnp.asarray(np.asarray(nn, np.int32)),
+        "flow": jnp.ones((B, h, w, 2)),
+    }
+    ref = jax.jit(make_device_preprocess(bins, h, w))(batch)
+    out = jax.jit(make_device_preprocess(bins, h, w, stack_pair=True))(batch)
+    np.testing.assert_array_equal(
+        np.asarray(out["event_volume_old"]), np.asarray(ref["event_volume_old"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["event_volume_new"]), np.asarray(ref["event_volume_new"])
+    )
+
+
 def test_flip_batch_matches_numpy():
     g = RNG.standard_normal((4, 6, 8, 3)).astype(np.float32)
     fh = np.asarray([True, False, True, False])

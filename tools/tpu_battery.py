@@ -118,6 +118,74 @@ def main() -> None:
               GMFlowNetModel(upsample_all=False, corr_fast=True),
               512, 960, 1, k=(1, 5))
 
+    # ---- train-step stack-pair A/B @512x960 b=6, worst-case 2^18 bucket
+    # (round-5 lever: one 2B-row scatter for old+new instead of two B-row
+    # calls — bit-identical grids, tests/test_device_input.py) ----
+    def train_leg(name, stack_pair):
+        if only and not any(s in name for s in only):
+            return
+        try:
+            from eemflow_tpu.data.device_input import make_device_preprocess
+            from eemflow_tpu.models.eemflow import EEMFlow as _EEM
+            from eemflow_tpu.train.optim import make_optimizer
+            from eemflow_tpu.train.trainer import (
+                create_train_state,
+                make_train_step,
+            )
+
+            B, NEV, TH, TW, bins = 6, 1 << 18, 512, 960, 5
+            tevs, tns = [], []
+            for _ in range(B):
+                n = NEV - 1000
+                ev = np.zeros((NEV, 4), np.float32)
+                ev[:n, 0] = np.linspace(0.0, 0.04, n)
+                ev[:n, 1] = rng.integers(0, TW, n)
+                ev[:n, 2] = rng.integers(0, TH, n)
+                ev[:n, 3] = rng.choice([-1.0, 1.0], n)
+                tevs.append(ev)
+                tns.append(n)
+            batch = {
+                "events_old": jnp.asarray(np.stack(tevs)),
+                "events_new": jnp.asarray(np.stack(tevs[::-1])),
+                "n_old": jnp.asarray(np.asarray(tns, np.int32)),
+                "n_new": jnp.asarray(np.asarray(tns[::-1], np.int32)),
+                "flow": jnp.ones((B, 16, 16, 2), jnp.float32),
+                "valid": jnp.ones((B, 16, 16), jnp.float32),
+            }
+            pre = make_device_preprocess(bins, TH, TW,
+                                         stack_pair=stack_pair)
+            tmodel = _EEM(out_mesh_size=True)
+            tx = make_optimizer(lr=1e-5, num_steps=1000)
+            state = create_train_state(
+                tmodel, jax.random.PRNGKey(0), batch, tx, preprocess=pre
+            )
+            step = make_train_step(tmodel, tx, preprocess=pre, donate=False)
+
+            def make_steps(k):
+                @jax.jit
+                def steps_k(st, b):
+                    def body(s, _):
+                        s, m = step(s, b)
+                        return s, m["loss"]
+
+                    _, losses = jax.lax.scan(body, st, None, length=k)
+                    return losses.sum()
+
+                return steps_k
+
+            t0 = time.perf_counter()
+            t1 = _fetch_time(make_steps(2), (state, batch), reps=reps)
+            t2 = _fetch_time(make_steps(12), (state, batch), reps=reps)
+            dt = (t2 - t1) / 10
+            emit(name, ms_per_step=round(dt * 1e3, 2),
+                 steps_per_s=round(1.0 / dt, 3),
+                 compile_s=round(time.perf_counter() - t0, 1))
+        except Exception as e:
+            emit(name, error=repr(e)[:200])
+
+    train_leg("train_std", stack_pair=False)
+    train_leg("train_stack_pair", stack_pair=True)
+
     # ---- banked voxel scatter, b=6 @2^16, 8x per fetch ----
     if only and not any(s in "voxelize_banks" for s in only):
         emit("battery_done", device=jax.devices()[0].device_kind)
@@ -163,6 +231,29 @@ def main() -> None:
             t = _fetch_time(vox_k(banks), (ev6, n6), reps=max(3, reps))
             emit(f"voxelize_banks{banks}",
                  ms_per_frame=round(t * 1e3 / (8 * 6), 3))
+
+        # worst-case train bucket (2^18): the scatter share of the 97 ms
+        # train step — same harness, 4x the events
+        NEV18 = 1 << 18
+        evs18, ns18 = [], []
+        for _ in range(6):
+            n = NEV18 - 1000
+            ev = np.empty((n, 4), np.float32)
+            ev[:, 0] = np.linspace(0, 0.04, n)
+            ev[:, 1] = rng.integers(0, TW, n)
+            ev[:, 2] = rng.integers(0, TH, n)
+            ev[:, 3] = rng.choice([-1.0, 1.0], n)
+            p, kv, _ = pad_events(ev, NEV18)
+            evs18.append(p)
+            ns18.append(kv)
+        t = _fetch_time(
+            vox_k(1),
+            (jnp.asarray(np.stack(evs18)),
+             jnp.asarray(np.asarray(ns18, np.int32))),
+            reps=max(3, reps),
+        )
+        emit("voxelize_2e18_banks1",
+             ms_per_frame=round(t * 1e3 / (8 * 6), 3))
     except Exception as e:
         emit("voxelize_banks", error=repr(e)[:200])
 
