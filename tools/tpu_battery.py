@@ -110,6 +110,59 @@ def main() -> None:
     # doubles the instance-norm reduce extents in the op-count-bound tail;
     # eraft_fused_update/_bf16 retired rounds 4-5: banded-Pallas loss)
 
+    # ---- ERAFT out-of-loop XLA levers (VERDICT r4 #6): donation and
+    # per-jit compiler options measured as explicit rows.  encoder-bf16 is
+    # subsumed by the flat full-bf16 row (r4 ledger); AUTO-layout pinning
+    # was measured a no-op in r3. ----
+    # (input-buffer donation is a speed no-op by construction here: the
+    # volumes are never aliased to an output, and scan carries are already
+    # reused in place inside the compiled program — no leg needed)
+    def eraft_xla_leg(name, options):
+        if only and not any(s in name for s in only):
+            return
+        try:
+            m = ERAFT(upsample_all=False, corr_fast=True)
+            bufs = tuple(
+                jnp.asarray(rng.standard_normal((1, 512, 960, 5)),
+                            jnp.float32)
+                for _ in range(6)
+            )
+            var = m.init(jax.random.PRNGKey(0), bufs[0], bufs[1])
+            apply_final = lambda v, a, b: m.apply(v, a, b)[1][-1]
+            stack = jnp.stack(bufs)
+            nb = len(bufs)
+
+            def make(k):
+                def f(v, s):
+                    def body(acc, i):
+                        a = jax.lax.dynamic_index_in_dim(
+                            s, i % nb, keepdims=False)
+                        b = jax.lax.dynamic_index_in_dim(
+                            s, (i + 1) % nb, keepdims=False)
+                        return (acc
+                                + apply_final(v, a, b).mean()
+                                .astype(jnp.float32)), None
+
+                    acc, _ = jax.lax.scan(
+                        body, jnp.zeros((), jnp.float32), jnp.arange(k))
+                    return acc
+
+                return (jax.jit(f).lower(var, stack)
+                        .compile(compiler_options=options))
+
+            t0 = time.perf_counter()
+            t1 = _fetch_time(make(1), (var, stack), reps=reps)
+            t2 = _fetch_time(make(9), (var, stack), reps=reps)
+            dt = (t2 - t1) / 8
+            emit(name, ms_per_img=round(dt * 1e3, 3),
+                 fps=round(1.0 / dt, 2),
+                 compile_s=round(time.perf_counter() - t0, 1))
+        except Exception as e:
+            emit(name, error=repr(e)[:200])
+
+    eraft_xla_leg("eraft_lhs_opt",
+                  {"xla_tpu_enable_latency_hiding_scheduler": "true"})
+
     # ---- GMFlowNet @512x960 b=1 (round-5 corr_fast wiring A/B) ----
     from eemflow_tpu.models.gmflownet import GMFlowNetModel
 
