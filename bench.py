@@ -887,13 +887,24 @@ def main() -> None:
         step = make_train_step(tmodel, tx, preprocess=pre, donate=False)
 
         def make_steps(k):
+            # the batch must DEPEND on the loop index: XLA's while-loop
+            # LICM can hoist a loop-invariant voxelize scatter out of the
+            # scan (observed on the stack_pair leg, round 5 — the scatter
+            # is 80+% of this step), and the differential then stops
+            # charging it.  Production feeds a NEW batch every step, so
+            # the honest harness perturbs the (timestamp) events by the
+            # loop index — arithmetic noise at fp32, but loop-variant.
             @jax.jit
             def steps_k(st, b):
-                def body(s, _):
-                    s, m = step(s, b)  # nested jit inlines under trace
+                def body(s, i):
+                    bi = dict(b)
+                    bi["events_old"] = b["events_old"] + i * 1e-9
+                    bi["events_new"] = b["events_new"] + i * 1e-9
+                    s, m = step(s, bi)  # nested jit inlines under trace
                     return s, m["loss"]
 
-                _, losses = jax.lax.scan(body, st, None, length=k)
+                _, losses = jax.lax.scan(
+                    body, st, jnp.arange(k, dtype=jnp.float32))
                 return losses.sum()
 
             return steps_k

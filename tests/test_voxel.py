@@ -150,6 +150,30 @@ def test_collate_pads_mixed_buckets():
     assert out["n_old"].tolist() == [900, 4000]
 
 
+def test_fused_scatter_matches_production():
+    """events_to_voxel_grid_fused (combined left+right votes, one
+    scatter; round-5 trace-guided experiment — measured FLAT on hardware,
+    docs/PERF.md) matches the production grid to fp-reordering tolerance;
+    the bf16-accumulation variant to ~1% of vote magnitude."""
+    from eemflow_tpu.events.voxel import events_to_voxel_grid_fused
+
+    ev = make_events(4096, 64, 86)
+    padded, n, _ = pad_events(ev, 4096)
+    ref = np.asarray(
+        events_to_voxel_grid(jnp.asarray(padded), n, 5, 64, 86)
+    )
+    got = np.asarray(
+        events_to_voxel_grid_fused(jnp.asarray(padded), n, 5, 64, 86)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    got16 = np.asarray(
+        events_to_voxel_grid_fused(
+            jnp.asarray(padded), n, 5, 64, 86, dtype=jnp.bfloat16
+        )
+    )
+    assert np.abs(got16 - ref).max() < 0.05 * max(np.abs(ref).max(), 1.0)
+
+
 def test_banked_scatter_matches_production():
     """events_to_voxel_grid_banked (bank-split scatter perf experiment)
     produces the same grid as the production single-buffer scatter, up to

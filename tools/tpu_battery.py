@@ -215,13 +215,23 @@ def main() -> None:
             step = make_train_step(tmodel, tx, preprocess=pre, donate=False)
 
             def make_steps(k):
+                # the batch must DEPEND on the loop index or XLA's
+                # while-loop LICM can hoist the loop-invariant voxelize
+                # scatter out of the scan and the differential stops
+                # charging it (the round-3 CSE-artifact class; the
+                # timestamp nudge is arithmetic noise at fp32 but defeats
+                # invariance) — production feeds a NEW batch every step
                 @jax.jit
                 def steps_k(st, b):
-                    def body(s, _):
-                        s, m = step(s, b)
+                    def body(s, i):
+                        bi = dict(b)
+                        bi["events_old"] = b["events_old"] + i * 1e-9
+                        bi["events_new"] = b["events_new"] + i * 1e-9
+                        s, m = step(s, bi)
                         return s, m["loss"]
 
-                    _, losses = jax.lax.scan(body, st, None, length=k)
+                    _, losses = jax.lax.scan(
+                        body, st, jnp.arange(k, dtype=jnp.float32))
                     return losses.sum()
 
                 return steps_k
@@ -299,14 +309,36 @@ def main() -> None:
             p, kv, _ = pad_events(ev, NEV18)
             evs18.append(p)
             ns18.append(kv)
-        t = _fetch_time(
-            vox_k(1),
-            (jnp.asarray(np.stack(evs18)),
-             jnp.asarray(np.asarray(ns18, np.int32))),
-            reps=max(3, reps),
-        )
+        ev18 = jnp.asarray(np.stack(evs18))
+        n18 = jnp.asarray(np.asarray(ns18, np.int32))
+        t = _fetch_time(vox_k(1), (ev18, n18), reps=max(3, reps))
         emit("voxelize_2e18_banks1",
              ms_per_frame=round(t * 1e3 / (8 * 6), 3))
+
+        # combined-votes (one sort+apply per grid) and bf16-accumulation
+        # variants — the round-5 trace-guided scatter levers
+        from eemflow_tpu.events.voxel import events_to_voxel_grid_fused
+
+        def vox_fused_k(dtype):
+            def f(e, n):
+                def body(acc, i):
+                    g = jax.vmap(
+                        lambda ee, nn: events_to_voxel_grid_fused(
+                            ee, nn, 5, TH, TW, dtype=dtype)
+                    )(e + i * 1e-9, n)
+                    return acc + g.sum(), None
+
+                acc, _ = jax.lax.scan(body, 0.0,
+                                      jnp.arange(8, dtype=jnp.float32))
+                return acc
+
+            return jax.jit(f)
+
+        for nm, dt_ in (("voxelize_2e18_fused_fp32", jnp.float32),
+                        ("voxelize_2e18_fused_bf16", jnp.bfloat16)):
+            t = _fetch_time(vox_fused_k(dt_), (ev18, n18),
+                            reps=max(3, reps))
+            emit(nm, ms_per_frame=round(t * 1e3 / (8 * 6), 3))
     except Exception as e:
         emit("voxelize_banks", error=repr(e)[:200])
 
