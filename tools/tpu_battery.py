@@ -87,6 +87,18 @@ def main() -> None:
     fwd_point("eemflow_siamese", EEMFlow(siamese_stack=True), 720, 1280, 2)
     fwd_point("eemflow_siamese_bf16",
               EEMFlow(siamese_stack=True), 720, 1280, 2, bf16=True)
+    # batch scaling of the siamese point, SERIALIZED dispatches (what
+    # serve.py --host_voxelize actually runs): the round-5 batched-
+    # MARGINAL differential measured 2.48 ms/frame (403 fps) at b4→b16,
+    # far below the serialized b=2 point (3.73) — i.e. per-program fixed
+    # cost grows with B, and the marginal number overstates a deployable
+    # rate.  These legs give the honest per-frame cost at each batch.
+    fwd_point("eemflow_siamese_b4", EEMFlow(siamese_stack=True),
+              720, 1280, 4, k=(2, 8))
+    fwd_point("eemflow_siamese_b8", EEMFlow(siamese_stack=True),
+              720, 1280, 8, k=(1, 5))
+    fwd_point("eemflow_siamese_b16", EEMFlow(siamese_stack=True),
+              720, 1280, 16, k=(1, 4))
 
     # ---- EEMFlow+ @720x1280 b=2 ----
     from eemflow_tpu.models.eemflow_plus import EEMFlowPlus
