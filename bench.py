@@ -42,6 +42,9 @@ both numbers are real, they answer different questions.  (Round-3
 correction: this point previously unrolled K forwards over reused buffer
 pairs, which let XLA CSE the siamese per-buffer encoder across chains and
 inflated the number several-fold; see ``_fwd_throughput_batched``.)
+``extra.serialized_fast_b16_fps`` bridges the two: a serialized scan of
+COMPLETE b=16 dispatches — the everything-included deployable rate at
+that batch (r5-s3: 303 fps vs the 403-fps marginal; docs/PERF.md).
 
 vs_baseline: the reference repo publishes no FPS number (BASELINE.md); we
 normalize against an ASSUMED 100 frames/s for the CUDA reference at the

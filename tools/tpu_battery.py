@@ -88,11 +88,12 @@ def main() -> None:
     fwd_point("eemflow_siamese_bf16",
               EEMFlow(siamese_stack=True), 720, 1280, 2, bf16=True)
     # batch scaling of the siamese point, SERIALIZED dispatches (what
-    # serve.py --host_voxelize actually runs): the round-5 batched-
-    # MARGINAL differential measured 2.48 ms/frame (403 fps) at b4→b16,
-    # far below the serialized b=2 point (3.73) — i.e. per-program fixed
-    # cost grows with B, and the marginal number overstates a deployable
-    # rate.  These legs give the honest per-frame cost at each batch.
+    # serve.py --host_voxelize actually runs).  Measured r5-s3 (ledger):
+    # b4 4.62 / b8 5.15 / b16 3.31 ms per frame — serialized cost
+    # improves slowly with B (b2 3.73 → b16 3.31 = 303 fps) but never
+    # reaches the 2.48 ms (403 fps) batched MARGINAL, which excludes the
+    # per-program fixed cost; quote 303 as deployable, 403 as the
+    # overlap-limit upper bound.
     fwd_point("eemflow_siamese_b4", EEMFlow(siamese_stack=True),
               720, 1280, 4, k=(2, 8))
     fwd_point("eemflow_siamese_b8", EEMFlow(siamese_stack=True),
